@@ -1,0 +1,234 @@
+"""Reverse-process sampler: a single fused ``lax.scan`` over noise levels.
+
+Design (TPU-first, cf. reference ``diffusion/ddpm_sampling.py``):
+
+* The schedule is discretized ONCE on the host into a ``(n_steps,)``
+  log-temperature grid, from which all per-step coefficients (alpha_bar,
+  the ancestral-DDPM x0/xt/noise coefficients, the DDIM coefficients) are
+  precomputed as static-shape tables. The reference's per-step Python loop
+  with data-dependent branches ("if prev_log_temp > -inf") becomes a scan
+  whose final step simply has ``alpha_bar_prev == 1`` so the noise
+  coefficient is analytically zero — no branches inside jit.
+* One ``jax.random`` key per batch; per-step keys derived with
+  ``jax.random.fold_in`` inside the scan (no host RNG in the loop).
+* Optional bf16 compute policy for the model forward (the reference's
+  fp16/bf16 autocast, ``ddpm_sampling.py:48-54``), accumulation in fp32.
+* Data parallelism: the batch axis shards over the mesh 'data' axis; the
+  whole scan is jit-compiled once and replicated via sharded inputs.
+
+The ancestral (DDPM) and DDIM step rules follow the z-space algebra of the
+reference's formulas.md "Sampling" section, expressed in x-space:
+
+  DDPM:  x_prev = c_x0 * x0_hat + c_xt * xt + c_n * xi
+         c_x0 = sqrt(ab_prev) beta / (1 - ab),
+         c_xt = sqrt(alpha) (1 - ab_prev) / (1 - ab),
+         c_n  = sqrt(beta (1 - ab_prev) / (1 - ab)),
+         alpha = ab / ab_prev, beta = 1 - alpha
+  DDIM:  x_prev = sqrt(ab_prev) x0_hat + sqrt(1 - ab_prev) eps_hat
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..core.temperature import alpha_bar_from_log_temp
+from ..models.base import DDPM
+from ..schedulers.base import Scheduler
+
+STEP_TYPES = ("ddpm", "ddim")
+
+
+def discretize_schedule(
+    scheduler: Scheduler,
+    n_steps: int,
+    *,
+    max_log_temp: Optional[float] = None,
+    log_temp: Optional[Array] = None,
+) -> Array:
+    """(n_steps,) descending-time grid of log temperatures.
+
+    tau grid = linspace(0, 1, n+1)[1:], mapped through the schedule and
+    clipped to the model's max temperature (parity: ddpm_sampling.py:33-41).
+    A custom ``log_temp`` grid (e.g. an optimized schedule) bypasses the
+    scheduler.
+    """
+    if log_temp is None:
+        tau = jnp.linspace(0.0, 1.0, n_steps + 1)[1:]
+        log_temp = scheduler.log_temp_from_tau(tau)
+    log_temp = jnp.asarray(log_temp, jnp.float32)
+    if max_log_temp is not None:
+        log_temp = jnp.clip(log_temp, max=max_log_temp)
+    return log_temp
+
+
+def _step_tables(log_temp: Array) -> Dict[str, Array]:
+    """Per-step coefficient tables for the scan, ordered high-T -> low-T.
+
+    Step i goes from level i to level i-1; the last step goes to the clean
+    state (log_temp = -inf, alpha_bar = 1).
+    """
+    ab = alpha_bar_from_log_temp(log_temp)  # ascending in T
+    ab_prev = jnp.concatenate([jnp.ones((1,), ab.dtype), ab[:-1]])
+    # reverse: step 0 of the scan is the highest temperature
+    ab, ab_prev = ab[::-1], ab_prev[::-1]
+    alpha = ab / ab_prev
+    beta = 1.0 - alpha
+    omab = 1.0 - ab
+    return {
+        "log_temp": log_temp[::-1],
+        "ab": ab,
+        "ab_prev": ab_prev,
+        "ddpm_x0": jnp.sqrt(ab_prev) * beta / omab,
+        "ddpm_xt": jnp.sqrt(alpha) * (1.0 - ab_prev) / omab,
+        "ddpm_noise": jnp.sqrt(beta * (1.0 - ab_prev) / omab),
+        "ddim_x0": jnp.sqrt(ab_prev),
+        "ddim_eps": jnp.sqrt(1.0 - ab_prev),
+    }
+
+
+@dataclass(frozen=True)
+class DDPMSampler:
+    """Batched reverse-process sampler.
+
+    Parity surface: reference DDPMSampler (ddpm_sampling.py:14-141) —
+    n_steps / batch_size / n_samples / step_type / precision /
+    track_states / custom log_temp grid.
+    """
+
+    ddpm: DDPM
+    scheduler: Scheduler
+    n_steps: int
+    obj_size: Tuple[int, ...]
+    batch_size: int = 1000
+    n_samples: int = 1000
+    step_type: str = "ddim"
+    precision: str = "full"  # "full" | "half" (bf16 model compute)
+    track_states: bool = False
+    log_temp: Optional[Array] = None  # custom grid overrides scheduler
+
+    def __post_init__(self):
+        assert self.step_type in STEP_TYPES, self.step_type
+
+    def _grid(self) -> Array:
+        return discretize_schedule(
+            self.scheduler,
+            self.n_steps,
+            max_log_temp=self.ddpm.max_log_temp,
+            log_temp=self.log_temp,
+        )
+
+    def batch_sample(self, key: jax.Array, batch_size: Optional[int] = None) -> Dict[str, Array]:
+        bs = batch_size or self.batch_size
+        grid = self._grid()
+        xt, states = _sample_scan(
+            self.ddpm,
+            grid,
+            key,
+            (bs, *self.obj_size),
+            self.step_type,
+            self.precision == "half",
+            self.track_states,
+        )
+        out = {"x": xt}
+        if states is not None:
+            out["states"] = states
+        return out
+
+    def sample(self, key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
+        """Generate ``n_samples`` in batches; gathers to host numpy.
+
+        Parity: reference sample() loop (ddpm_sampling.py:134-141).
+        """
+        key = jax.random.PRNGKey(0) if key is None else key
+        n_rep = math.ceil(self.n_samples / self.batch_size)
+        chunks: Dict[str, list] = {}
+        for i in range(n_rep):
+            out = self.batch_sample(jax.random.fold_in(key, i))
+            for k, v in out.items():
+                chunks.setdefault(k, []).append(np.asarray(v))
+        res = {k: np.concatenate(v)[: self.n_samples] if k == "x" else np.concatenate(v, axis=1)[:, : self.n_samples] for k, v in chunks.items()}
+        return res
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sample_shape", "step_type", "half", "track_states"),
+)
+def _sample_scan(
+    ddpm: DDPM,
+    grid: Array,
+    key: jax.Array,
+    sample_shape: Tuple[int, ...],
+    step_type: str,
+    half: bool,
+    track_states: bool,
+):
+    tables = _step_tables(grid)
+    key, init_key = jax.random.split(key)
+    xt = jax.random.normal(init_key, sample_shape, dtype=jnp.float32)
+
+    def step(carry, inp):
+        xt = carry
+        i, tab = inp
+        x_in = xt.astype(jnp.bfloat16) if half else xt
+        preds = ddpm.get_predictions(x_in, tab["log_temp"])
+        x0 = preds.x0.astype(jnp.float32)
+        if step_type == "ddpm":
+            noise = jax.random.normal(
+                jax.random.fold_in(key, i), xt.shape, dtype=jnp.float32
+            )
+            x_next = (
+                tab["ddpm_x0"] * x0
+                + tab["ddpm_xt"] * xt
+                + tab["ddpm_noise"] * noise
+            )
+        else:
+            eps = preds.eps.astype(jnp.float32)
+            x_next = tab["ddim_x0"] * x0 + tab["ddim_eps"] * eps
+        return x_next, (x_next if track_states else None)
+
+    n = grid.shape[0]
+    x_final, states = jax.lax.scan(
+        step, xt, (jnp.arange(n), tables)
+    )
+    if track_states:
+        # reference stacks states low-T -> high-T (states[::-1]); our scan
+        # emits high-T -> low-T, so flip the leading axis to match.
+        states = states[::-1]
+    return x_final, states
+
+
+def get_samples(
+    ddpm: DDPM,
+    scheduler: Scheduler,
+    n_steps: int,
+    obj_size: Tuple[int, ...],
+    n_samples: int,
+    batch_size: int = 1000,
+    step_type: str = "ddim",
+    precision: str = "full",
+    track_states: bool = False,
+    key: Optional[jax.Array] = None,
+    log_temp: Optional[Array] = None,
+) -> Dict[str, np.ndarray]:
+    sampler = DDPMSampler(
+        ddpm=ddpm,
+        scheduler=scheduler,
+        n_steps=n_steps,
+        obj_size=obj_size,
+        batch_size=batch_size,
+        n_samples=n_samples,
+        step_type=step_type,
+        precision=precision,
+        track_states=track_states,
+        log_temp=log_temp,
+    )
+    return sampler.sample(key)

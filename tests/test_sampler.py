@@ -1,0 +1,134 @@
+"""Sampler end-to-end: the 1-D GMM oracle (reference sample_gmm.py setup)
+and step-rule algebra checks against a Gaussian closed form."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdm_tpu.core.temperature import alpha_bar_from_log_temp
+from pdm_tpu.diffusion.sampling import DDPMSampler, discretize_schedule, get_samples
+from pdm_tpu.models.base import TrueDDPM
+from pdm_tpu.models.predictions import convert_prediction, training_target
+from pdm_tpu.ops.mmd import mmd_rbf
+from pdm_tpu.schedulers.analytic import LogSNRScheduler
+
+
+def gmm_data(n=50_000, seed=0):
+    rng = np.random.RandomState(seed)
+    means = np.array([-1.1, -0.9, 0.9, 1.1])
+    comp = rng.randint(0, 4, n)
+    return (means[comp] + 0.01 * rng.randn(n)).astype(np.float32).reshape(n, 1, 1, 1)
+
+
+def test_predictions_roundtrip():
+    rng = np.random.RandomState(0)
+    xt = jnp.asarray(rng.randn(16, 3).astype(np.float32))
+    x0 = jnp.asarray(rng.randn(16, 3).astype(np.float32))
+    ab = jnp.asarray(rng.uniform(0.1, 0.9, 16).astype(np.float32))
+    eps = (xt - jnp.sqrt(ab)[:, None] * x0) / jnp.sqrt(1 - ab)[:, None]
+    score = -eps / jnp.sqrt(1 - ab)[:, None]
+
+    for param, pred in (("x0", x0), ("eps", eps), ("score", score)):
+        out = convert_prediction(pred, xt, ab, param)
+        np.testing.assert_allclose(np.asarray(out.x0), np.asarray(x0), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.eps), np.asarray(eps), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.score), np.asarray(score), rtol=1e-4, atol=1e-4)
+        tgt = training_target(x0, eps, ab, param)
+        np.testing.assert_allclose(np.asarray(tgt), np.asarray(pred), rtol=1e-4, atol=1e-4)
+
+
+def test_discretize_schedule_grid():
+    sched = LogSNRScheduler(1e-4, 1e1)
+    grid = discretize_schedule(sched, 10)
+    assert grid.shape == (10,)
+    # last grid point hits max temp; grid ascending in T
+    np.testing.assert_allclose(float(grid[-1]), np.log(1e1), rtol=1e-5)
+    assert np.all(np.diff(np.asarray(grid)) > 0)
+    # clipping to the model's max temperature
+    grid2 = discretize_schedule(sched, 10, max_log_temp=0.0)
+    assert float(np.asarray(grid2).max()) <= 0.0
+
+
+@pytest.mark.parametrize("step_type", ["ddpm", "ddim"])
+def test_gmm_sampling_mmd(step_type):
+    """True-model sampling on the 4-mode GMM: samples must match the data
+    distribution (MMD oracle, reference sample_gmm.py)."""
+    data = gmm_data(20_000)
+    sched = LogSNRScheduler(1e-4, 1e1)
+    ddpm = TrueDDPM(scheduler=sched, train_data=jnp.asarray(data))
+    out = get_samples(
+        ddpm, sched, n_steps=20, obj_size=(1, 1, 1), n_samples=512,
+        batch_size=512, step_type=step_type, key=jax.random.PRNGKey(1),
+    )
+    x = out["x"].reshape(-1, 1)
+    ref = data[:2000].reshape(-1, 1)
+    mmd = float(mmd_rbf(jnp.asarray(x), jnp.asarray(ref), sigmas=(0.1,)))
+    assert mmd < 5e-3, f"MMD too high: {mmd}"
+    # all samples near one of the four modes
+    dist_to_mode = np.min(
+        np.abs(x - np.array([-1.1, -0.9, 0.9, 1.1])[None, :]), axis=1
+    )
+    assert np.quantile(dist_to_mode, 0.95) < 0.1
+
+
+def test_gmm_mode_coverage_ddpm():
+    """Ancestral sampling covers all 4 modes with ~uniform occupancy."""
+    data = gmm_data(20_000)
+    sched = LogSNRScheduler(1e-4, 1e1)
+    ddpm = TrueDDPM(scheduler=sched, train_data=jnp.asarray(data))
+    out = get_samples(
+        ddpm, sched, n_steps=25, obj_size=(1, 1, 1), n_samples=1024,
+        batch_size=1024, step_type="ddpm", key=jax.random.PRNGKey(2),
+    )
+    x = out["x"].reshape(-1)
+    modes = np.array([-1.1, -0.9, 0.9, 1.1])
+    assign = np.argmin(np.abs(x[:, None] - modes[None, :]), axis=1)
+    occ = np.bincount(assign, minlength=4) / len(x)
+    assert np.all(occ > 0.15), occ  # ideal 0.25 each
+
+
+def test_track_states_shape_and_order():
+    data = gmm_data(5_000)
+    sched = LogSNRScheduler(1e-4, 1e1)
+    ddpm = TrueDDPM(scheduler=sched, train_data=jnp.asarray(data))
+    sampler = DDPMSampler(
+        ddpm=ddpm, scheduler=sched, n_steps=8, obj_size=(1, 1, 1),
+        batch_size=64, n_samples=64, step_type="ddim", track_states=True,
+    )
+    out = sampler.sample(jax.random.PRNGKey(3))
+    assert out["states"].shape == (8, 64, 1, 1, 1)
+    # states[0] is the final (clean) state == x
+    np.testing.assert_allclose(out["states"][0], out["x"], atol=1e-6)
+    # variance decreases from noisy to clean... states[-1] is the first
+    # reverse step (still hot), so it has larger spread than states[0]
+    assert out["states"][-1].std() > out["states"][0].std() * 0.5
+
+
+def test_ddim_gaussian_exact_dynamics():
+    """For p(x0)=N(0,1), E[x0|xt] = sqrt(ab) xt / (ab + (1-ab)) = sqrt(ab) xt
+    -> DDIM recursion is linear and the final sample stays N(0, ~1)."""
+    rng = np.random.RandomState(4)
+    data = rng.randn(40_000, 1).astype(np.float32)
+    sched = LogSNRScheduler(1e-4, 1e2)
+    ddpm = TrueDDPM(scheduler=sched, train_data=jnp.asarray(data))
+    out = get_samples(
+        ddpm, sched, n_steps=50, obj_size=(1,), n_samples=2048,
+        batch_size=2048, step_type="ddim", key=jax.random.PRNGKey(5),
+    )
+    x = out["x"].reshape(-1)
+    assert abs(x.mean()) < 0.1
+    assert abs(x.std() - 1.0) < 0.1
+
+
+def test_half_precision_path_runs():
+    data = gmm_data(5_000)
+    sched = LogSNRScheduler(1e-4, 1e1)
+    ddpm = TrueDDPM(scheduler=sched, train_data=jnp.asarray(data))
+    out = get_samples(
+        ddpm, sched, n_steps=10, obj_size=(1, 1, 1), n_samples=128,
+        batch_size=128, step_type="ddpm", precision="half",
+        key=jax.random.PRNGKey(6),
+    )
+    assert np.all(np.isfinite(out["x"]))
+    assert np.abs(out["x"]).max() < 2.0
