@@ -61,7 +61,7 @@ class BoltzmannMoments(NamedTuple):
     shift: Array  # (B,)   max_j(-g_ij)
     e1_hat: Array  # (B,)  E_p[g + shift]
     e2_hat: Array  # (B,)  E_p[(g + shift)^2]
-    mean: Optional[Array]  # (B, D) E_p[y] or None
+    mean: Optional[Array]  # (B, K) E_p[values_j] (values defaults to y)
 
     @property
     def e1(self) -> Array:
@@ -112,7 +112,7 @@ def _scan_raw(
     yf: Array,
     inv_temp: Array,
     y_scale: Array,
-    compute_mean: bool,
+    values: Optional[Array],
     chunk_size: int,
 ) -> _RawAcc:
     B, D = xf.shape
@@ -122,12 +122,18 @@ def _scan_raw(
     pad = n_chunks * chunk - N
     yp = jnp.pad(yf, ((0, pad), (0, 0))) if pad else yf
     y_chunks = yp.reshape(n_chunks, chunk, D)
+    if values is not None:
+        K = values.shape[1]
+        vp = jnp.pad(values, ((0, pad), (0, 0))) if pad else values
+        v_chunks = vp.reshape(n_chunks, chunk, K)
+    else:
+        K, v_chunks = 0, None
 
     x_sq = 0.5 * jnp.sum(xf * xf, axis=-1)  # (B,)
 
     def body(carry: _RawAcc, inp):
         m, s0, s1, s2, sy = carry
-        ci, yc = inp  # chunk index, (chunk, D)
+        ci, yc, vc = inp  # chunk index, (chunk, D), (chunk, K) or None
         # H_ij = 0.5||x_i||^2 - s_i x_i.y_j + 0.5 s_i^2 ||y_j||^2
         gram = jnp.dot(xf, yc.T, preferred_element_type=jnp.float32)
         y_sq = 0.5 * jnp.sum(yc * yc, axis=-1)  # (chunk,)
@@ -158,7 +164,7 @@ def _scan_raw(
         syn = (
             None
             if sy is None
-            else sy * c[:, None] + jnp.dot(p, yc, preferred_element_type=jnp.float32)
+            else sy * c[:, None] + jnp.dot(p, vc, preferred_element_type=jnp.float32)
         )
         return _RawAcc(m_new, s0n, s1n, s2n, syn), None
 
@@ -168,10 +174,20 @@ def _scan_raw(
         s0=zeros,
         s1=zeros,
         s2=zeros,
-        sy=jnp.zeros((B, D), jnp.float32) if compute_mean else None,
+        sy=jnp.zeros((B, K), jnp.float32) if values is not None else None,
     )
-    acc, _ = jax.lax.scan(body, init, (jnp.arange(n_chunks), y_chunks))
+    acc, _ = jax.lax.scan(body, init, (jnp.arange(n_chunks), y_chunks, v_chunks))
     return acc
+
+
+def _resolve_values(
+    y: Array, values: Optional[Array], compute_mean: bool
+) -> Optional[Array]:
+    if values is not None:
+        return values.reshape(values.shape[0], -1).astype(jnp.float32)
+    if compute_mean:
+        return y.reshape(y.shape[0], -1).astype(jnp.float32)
+    return None
 
 
 @partial(jax.jit, static_argnames=("compute_mean", "chunk_size"))
@@ -181,13 +197,17 @@ def boltzmann_moments_xla(
     inv_temp: Array,
     y_scale: Array = 1.0,
     *,
+    values: Optional[Array] = None,
     compute_mean: bool = False,
     chunk_size: int = DEFAULT_CHUNK,
 ) -> BoltzmannMoments:
     """Portable lax.scan implementation (CPU path / oracle for the Pallas
-    kernel)."""
+    kernel). ``values`` (N, K): per-dataset-point payload whose posterior
+    mean E_p[values] is returned as ``mean``; ``compute_mean=True`` is sugar
+    for ``values=y``."""
+    vals = _resolve_values(y, values, compute_mean)
     xf, yf, inv_temp, y_scale = _prep(x, y, inv_temp, y_scale)
-    return _finalize(_scan_raw(xf, yf, inv_temp, y_scale, compute_mean, chunk_size))
+    return _finalize(_scan_raw(xf, yf, inv_temp, y_scale, vals, chunk_size))
 
 
 def boltzmann_moments(
@@ -196,6 +216,7 @@ def boltzmann_moments(
     inv_temp: Array,
     y_scale: Array = 1.0,
     *,
+    values: Optional[Array] = None,
     compute_mean: bool = False,
     chunk_size: int = DEFAULT_CHUNK,
 ) -> BoltzmannMoments:
@@ -205,12 +226,18 @@ def boltzmann_moments(
             from .boltzmann_pallas import boltzmann_moments_pallas
 
             return boltzmann_moments_pallas(
-                x, y, inv_temp, y_scale, compute_mean=compute_mean
+                x, y, inv_temp, y_scale, values=values, compute_mean=compute_mean
             )
         except Exception:  # pragma: no cover - fall back if kernel unsupported
             pass
     return boltzmann_moments_xla(
-        x, y, inv_temp, y_scale, compute_mean=compute_mean, chunk_size=chunk_size
+        x,
+        y,
+        inv_temp,
+        y_scale,
+        values=values,
+        compute_mean=compute_mean,
+        chunk_size=chunk_size,
     )
 
 
@@ -260,16 +287,19 @@ def boltzmann_moments_shard_body(
     y_scale: Array = 1.0,
     *,
     axis_name: str,
+    values: Optional[Array] = None,
     compute_mean: bool = False,
     chunk_size: int = DEFAULT_CHUNK,
 ) -> BoltzmannMoments:
     """Per-shard body to run under ``shard_map``: the dataset ``y`` is
-    sharded over ``axis_name``, queries ``x`` replicated; the result is
-    replicated. The per-shard online-softmax accumulators merge exactly:
-    global max via pmax, rescale each shard's sums by exp(m - m_g), psum.
+    sharded over ``axis_name`` (``values`` shards with it), queries ``x``
+    replicated; the result is replicated. The per-shard online-softmax
+    accumulators merge exactly: global max via pmax, rescale each shard's
+    sums by exp(m - m_g), psum.
     """
+    vals = _resolve_values(y_shard, values, compute_mean)
     xf, yf, inv_temp, y_scale = _prep(x, y_shard, inv_temp, y_scale)
-    m, s0, s1, s2, sy = _scan_raw(xf, yf, inv_temp, y_scale, compute_mean, chunk_size)
+    m, s0, s1, s2, sy = _scan_raw(xf, yf, inv_temp, y_scale, vals, chunk_size)
 
     m_g = jax.lax.pmax(m, axis_name)
     finite = jnp.isfinite(m)

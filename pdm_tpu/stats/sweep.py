@@ -1,0 +1,208 @@
+"""Thermodynamic sweeps over noise levels — free energy, entropy, heat
+capacity, and the empirical Fisher-Rao metric, in ONE fused pass per
+temperature.
+
+Physics (linear / variance-exploding convention, matching the reference's
+stats pipelines): noise the data as ``xt = x0 + sqrt(T) eps``; the Boltzmann
+posterior over the dataset at temperature T gives
+
+    F(T)  = -T E[log Z]                    (free energy)
+    S(T)  = E[log Z + U/T] - log N          (entropy)
+    C(T)  = Var_p[H/T]                      (heat capacity, = dS/dlogT)
+    G(T)  = Var_p[H/T]                      (empirical Fisher-Rao metric in
+                                             lambda = log T — the same
+                                             posterior-energy variance)
+
+The reference computes S and G in two separate passes over the dataset
+(utils/stats.py:261-311 and :14-111); here one streaming Boltzmann-moments
+evaluation yields all four. Optional metric regularization (global floor or
+adaptive k-NN sigma^2, stats.py:42-108) rides the op's ``values`` channel:
+the posterior-weighted per-point sigma^2 is just E_p[values].
+
+MC protocol parity: ``n_samples`` trajectory starts drawn from the data
+generator, batched; per-temperature fresh noise; batch means averaged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..ops.boltzmann import boltzmann_moments_xla
+
+
+@partial(jax.jit, static_argnames=("with_knn",))
+def _sweep_batch(
+    key: jax.Array,
+    x0: Array,  # (B, D) trajectory starts
+    data: Array,  # (N, D)
+    temp: Array,  # (n_temps,)
+    sigma_reg_sq: Optional[Array],  # (N,) per-point adaptive sigma^2 or None
+    with_knn: bool = False,
+) -> Dict[str, Array]:
+    """Per-batch sweep: sequential lax.map over temperatures (each iteration
+    is a full streaming pass over the dataset — MXU-bound)."""
+    n_objects = data.shape[0]
+    values = sigma_reg_sq[:, None] if with_knn else None
+
+    def per_temp(inp):
+        i, t = inp
+        eps = jax.random.normal(jax.random.fold_in(key, i), x0.shape)
+        xt = x0 + jnp.sqrt(t) * eps
+        mom = boltzmann_moments_xla(
+            xt, data, inv_temp=1.0 / t, values=values
+        )
+        out = {
+            "entropy": jnp.mean(mom.entropy(n_objects)),
+            "free_energy": jnp.mean(-t * mom.log_z),
+            "var_g": mom.var,  # (B,) posterior energy/T variance
+            "log_z": mom.log_z,
+        }
+        out["sigma_eff"] = (
+            mom.mean[:, 0] if with_knn else jnp.zeros_like(mom.var)
+        )
+        return out
+
+    n_temps = temp.shape[0]
+    return jax.lax.map(per_temp, (jnp.arange(n_temps), temp))
+
+
+def _regularized_metric(
+    var_g: np.ndarray,  # (n_temps, B)
+    temp: np.ndarray,
+    regularize: bool,
+    sigma_eff: Optional[np.ndarray],
+    global_sigma_reg_sq: float,
+) -> np.ndarray:
+    """Apply the manifold-regularization floor per (temp, sample), then
+    average over samples. G_reg = 0.5 s2 (s2 + 2T) / (s2 + T)^2 — the metric
+    of a Gaussian cluster of variance s2 (reference stats.py:97-108)."""
+    if not regularize:
+        return var_g.mean(axis=1)
+    t = temp[:, None]
+    s2 = sigma_eff if sigma_eff is not None else global_sigma_reg_sq
+    g_reg = 0.5 * s2 * (s2 + 2 * t) / (s2 + t) ** 2
+    return np.maximum(var_g, g_reg).mean(axis=1)
+
+
+def thermo_sweep(
+    key: jax.Array,
+    data: Array,
+    temp: np.ndarray,
+    n_samples: int = 1024,
+    batch_size: int = 1024,
+    *,
+    regularize: bool = False,
+    adaptive_knn: bool = False,
+    knn_k: int = 5,
+    sigma_reg_scale: float = 1.0,
+    global_sigma_reg_sq: float = 1e-3,
+) -> Dict[str, np.ndarray]:
+    """Full MC sweep: entropy, free energy, heat capacity, metric.
+
+    ``data`` device-resident (N, ...) array; trajectory starts are drawn
+    uniformly from it (the reference's infinite shuffled generator).
+    Returns the union of both reference artifact contracts:
+    temp / entropy / free_energy / heat_capacity / metric / log_temp /
+    dataset_tr_sigma0.
+    """
+    data2d = jnp.reshape(data, (data.shape[0], -1))
+    n, d = data2d.shape
+    temp_j = jnp.asarray(temp, jnp.float32)
+
+    sigma_reg_sq = None
+    with_knn = bool(regularize and adaptive_knn)
+    if with_knn:
+        from ..ops.knn import knn_sqdist
+
+        d_k = knn_sqdist(data2d, k=knn_k)  # (N,) squared k-NN distance
+        sigma_reg_sq = d_k * (sigma_reg_scale / float(d))
+
+    entropy_acc = []
+    free_energy_acc = []
+    var_chunks = []
+    sigma_chunks = []
+    seen = 0
+    bi = 0
+    while seen < n_samples:
+        bs = min(batch_size, n_samples - seen)
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (bs,), 0, n)
+        x0 = data2d[idx]
+        out = _sweep_batch(
+            jax.random.fold_in(key, bi), x0, data2d, temp_j, sigma_reg_sq, with_knn
+        )
+        entropy_acc.append(np.asarray(out["entropy"]) * bs)
+        free_energy_acc.append(np.asarray(out["free_energy"]) * bs)
+        var_chunks.append(np.asarray(out["var_g"]))
+        sigma_chunks.append(np.asarray(out["sigma_eff"]))
+        seen += bs
+        bi += 1
+
+    entropy = np.sum(entropy_acc, axis=0) / seen
+    free_energy = np.sum(free_energy_acc, axis=0) / seen
+    var_g = np.concatenate(var_chunks, axis=1)  # (n_temps, n_samples)
+    sigma_eff = np.concatenate(sigma_chunks, axis=1) if with_knn else None
+
+    metric = _regularized_metric(
+        var_g, np.asarray(temp, np.float64), regularize, sigma_eff,
+        global_sigma_reg_sq,
+    )
+    tr_sigma0 = float(np.asarray(jnp.var(data2d, axis=0).sum()))
+
+    return {
+        "temp": np.asarray(temp),
+        "entropy": entropy,
+        "free_energy": free_energy,
+        "heat_capacity": var_g.mean(axis=1),
+        "metric": metric,
+        "log_temp": np.log(np.asarray(temp)),
+        "dataset_tr_sigma0": np.asarray(tr_sigma0),
+    }
+
+
+def forward_stats(
+    key: jax.Array, data: Array, temp: np.ndarray, n_samples: int = 1024,
+    batch_size: int = 1024,
+) -> Dict[str, np.ndarray]:
+    """Reference forward-stats artifact contract: {temp, entropy}.
+
+    Parity: utils/stats.py compute_stats + scripts/compute_stats_forward.py.
+    """
+    out = thermo_sweep(key, data, temp, n_samples, batch_size)
+    return {"temp": out["temp"], "entropy": out["entropy"]}
+
+
+def metric_stats(
+    key: jax.Array,
+    data: Array,
+    temp: np.ndarray,
+    n_samples: int = 1024,
+    batch_size: int = 1024,
+    *,
+    regularize: bool = False,
+    adaptive_knn: bool = False,
+    knn_k: int = 5,
+    sigma_reg_scale: float = 1.0,
+) -> Dict[str, np.ndarray]:
+    """Reference metric-stats artifact contract:
+    {temp, metric, log_temp, dataset_tr_sigma0}.
+
+    Parity: utils/stats.py compute_metric_stats.
+    """
+    out = thermo_sweep(
+        key, data, temp, n_samples, batch_size,
+        regularize=regularize, adaptive_knn=adaptive_knn, knn_k=knn_k,
+        sigma_reg_scale=sigma_reg_scale,
+    )
+    return {
+        "temp": out["temp"],
+        "metric": out["metric"],
+        "log_temp": out["log_temp"],
+        "dataset_tr_sigma0": out["dataset_tr_sigma0"],
+    }
