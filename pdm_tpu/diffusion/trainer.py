@@ -1,0 +1,270 @@
+"""DDPM trainer: one donated, jit-compiled, mesh-sharded train step.
+
+Capability parity with the reference trainer (``diffusion/ddpm_trainer.py``):
+Adam(betas, weight decay), linear warmup -> linear decay LR, EMA of
+parameters, global-norm gradient clipping, MSE loss on the parametrization
+target with uniform-tau noise sampling, periodic eval hook (sample + FID),
+checkpointing with auto-resume, per-step metric logging.
+
+TPU-first differences:
+  * the whole step (noise draw, forward, loss, backward, optimizer, EMA) is
+    ONE jit graph with donated state — no host round-trips per step;
+  * batch shards over the mesh 'data' axis, parameters shard over 'model'
+    (tensor parallelism) via NamedSharding — XLA inserts the psum for
+    gradient reduction;
+  * data is device-resident (the whole dataset lives in HBM; per-step
+    minibatch selection is a device-side gather keyed by the step RNG),
+    removing the reference's per-step host->device copy
+    (ddpm_trainer.py:194);
+  * checkpoints via Orbax (async-capable), resume contract identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import Array
+
+from ..core.temperature import alpha_bar_from_log_temp, bcast_right
+from ..models.predictions import convert_prediction, training_target
+from ..models.unet_ddpm import UNetDDPM
+from ..schedulers.base import Scheduler
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: Array
+    params: Any
+    ema_params: Any
+    opt_state: Any
+
+
+def warmup_linear_decay(
+    learning_rate: float, warmup_steps: int, total_iters: int
+) -> optax.Schedule:
+    """Linear 0 -> lr over warmup, then linear lr -> 0 at total_iters.
+
+    Parity: reference LambdaLR lr_lambda (ddpm_trainer.py:47-56).
+    """
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        warm = count / jnp.maximum(1.0, warmup_steps)
+        decay = jnp.maximum(
+            0.0, (total_iters - count) / jnp.maximum(1.0, total_iters - warmup_steps)
+        )
+        return learning_rate * jnp.where(count < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def make_optimizer(
+    learning_rate: float,
+    weight_decay: float,
+    betas: Tuple[float, float],
+    warmup_steps: int,
+    total_iters: int,
+    grad_clip: float,
+) -> optax.GradientTransformation:
+    sched = (
+        warmup_linear_decay(learning_rate, warmup_steps, total_iters)
+        if warmup_steps > 0
+        else learning_rate
+    )
+    tx = [optax.clip_by_global_norm(grad_clip)] if grad_clip > 0 else []
+    tx.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
+    if weight_decay:
+        tx.append(optax.add_decayed_weights(weight_decay))
+    tx.append(optax.scale_by_learning_rate(sched))
+    return optax.chain(*tx)
+
+
+@dataclasses.dataclass
+class DDPMTrainer:
+    ddpm: UNetDDPM
+    learning_rate: float = 2e-4
+    weight_decay: float = 0.0
+    betas: Tuple[float, float] = (0.9, 0.999)
+    warmup_steps: int = 5000
+    total_iters: int = 1_500_000
+    grad_clip: float = 10.0
+    ema_decay: float = 0.9999
+    checkpoint_dir: Optional[str] = None
+    eval_steps: int = 50_000
+    eval_fn: Optional[Callable[[UNetDDPM, int], Dict[str, float]]] = None
+    log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None
+    checkpoint_every: Optional[int] = None  # defaults to eval_steps
+
+    def __post_init__(self):
+        self.optimizer = make_optimizer(
+            self.learning_rate, self.weight_decay, self.betas,
+            self.warmup_steps, self.total_iters, self.grad_clip,
+        )
+        self._lr_schedule = warmup_linear_decay(
+            self.learning_rate, self.warmup_steps, self.total_iters
+        )
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+
+    def init_state(self) -> TrainState:
+        # copy: train_step donates the state, so the state must not alias
+        # the model's (reusable) parameter buffers
+        params = jax.tree_util.tree_map(jnp.copy, self.ddpm.params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=self.optimizer.init(params),
+        )
+
+    # ------------------------------------------------------------------
+    # the jitted step
+    # ------------------------------------------------------------------
+
+    def loss_fn(
+        self, params: Any, key: jax.Array, x0: Array
+    ) -> Tuple[Array, Dict[str, Array]]:
+        sched: Scheduler = self.ddpm.scheduler
+        key_noise, key_drop = jax.random.split(key)
+        tau, eps, xt = sched.add_noise(key_noise, x0)
+        log_temp = sched.log_temp_from_tau(tau)
+        ab = alpha_bar_from_log_temp(log_temp)
+
+        x_nhwc = jnp.transpose(xt, (0, 2, 3, 1))
+        pred = self.ddpm.module.apply(
+            {"params": params}, x_nhwc, tau,
+            deterministic=False, rngs={"dropout": key_drop},
+        )
+        pred = jnp.transpose(pred, (0, 3, 1, 2))
+        target = training_target(x0, eps, ab, self.ddpm.parametrization)
+        loss = jnp.mean(jnp.square(pred - target.astype(pred.dtype)))
+        return loss, {"loss": loss}
+
+    def _build_train_step(self):
+        def step(state: TrainState, key: jax.Array, x0: Array):
+            (loss, metrics), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True
+            )(state.params, key, x0)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            ema = optax.incremental_update(
+                params, state.ema_params, 1.0 - self.ema_decay
+            )
+            out_metrics = dict(metrics)
+            out_metrics["grad_norm"] = optax.global_norm(grads)
+            new_state = TrainState(
+                step=state.step + 1,
+                params=params,
+                ema_params=ema,
+                opt_state=opt_state,
+            )
+            return new_state, out_metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_step(
+        self, state: TrainState, key: jax.Array, x0: Array
+    ) -> Tuple[TrainState, Dict[str, Array]]:
+        if not hasattr(self, "_train_step_jit"):
+            self._train_step_jit = self._build_train_step()
+        return self._train_step_jit(state, key, x0)
+
+    # ------------------------------------------------------------------
+    # checkpointing (Orbax; resume contract = reference's latest.pth)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, state: TrainState, step: int) -> None:
+        if self.checkpoint_dir is None:
+            return
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.checkpoint_dir, f"step_{step}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(dataclasses.asdict(state)), force=True)
+        ckptr.wait_until_finished()
+        latest = os.path.join(self.checkpoint_dir, "latest.txt")
+        with open(latest, "w") as f:
+            f.write(str(step))
+
+    def latest_checkpoint_step(self) -> Optional[int]:
+        if self.checkpoint_dir is None:
+            return None
+        latest = os.path.join(self.checkpoint_dir, "latest.txt")
+        if not os.path.exists(latest):
+            return None
+        with open(latest) as f:
+            return int(f.read().strip())
+
+    def load_checkpoint(self, state: TrainState, step: int) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.checkpoint_dir, f"step_{step}"))
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, jax.device_get(dataclasses.asdict(state)))
+        return TrainState(**restored)
+
+    # ------------------------------------------------------------------
+    # the loop
+    # ------------------------------------------------------------------
+
+    def train(
+        self,
+        data: Array,
+        batch_size: int,
+        total_iters: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        log_every: int = 100,
+    ) -> TrainState:
+        """Device-resident-data training loop with auto-resume.
+
+        ``data``: (N, C, H, W) array already placed on device(s).
+        """
+        total = total_iters or self.total_iters
+        key = jax.random.PRNGKey(0) if key is None else key
+        state = self.init_state()
+
+        start = 0
+        resume = self.latest_checkpoint_step()
+        if resume is not None:
+            state = self.load_checkpoint(state, resume)
+            start = resume
+
+        n = data.shape[0]
+        ckpt_every = self.checkpoint_every or self.eval_steps
+
+        @partial(jax.jit, donate_argnums=())
+        def select_batch(step_key):
+            idx = jax.random.randint(step_key, (batch_size,), 0, n)
+            return jnp.take(data, idx, axis=0)
+
+        for it in range(start + 1, total + 1):
+            step_key = jax.random.fold_in(key, it)
+            x0 = select_batch(jax.random.fold_in(step_key, 1))
+            state, metrics = self.train_step(state, jax.random.fold_in(step_key, 2), x0)
+
+            if self.log_fn is not None and it % log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                host["learning_rate"] = float(self._lr_schedule(it))
+                self.log_fn(it, host)
+
+            if it % ckpt_every == 0:
+                self.save_checkpoint(state, it)
+            if self.eval_fn is not None and it % self.eval_steps == 0:
+                ema_ddpm = self.ddpm.with_params(state.ema_params)
+                eval_metrics = self.eval_fn(ema_ddpm, it)
+                if self.log_fn is not None and eval_metrics:
+                    self.log_fn(it, eval_metrics)
+
+        return state

@@ -1,0 +1,314 @@
+"""UNet2D denoiser in Flax — the flagship trainable model.
+
+Architecture-parity target: the diffusers ``UNet2DModel`` the reference
+wraps (``diffusion/ddpm/unet.py:12-31``) with the reference experiment
+config (``config/groups/ddpm.yaml``): sinusoidal time embedding
+(freq_shift=1, sin-then-cos), block channels 128/256/256/256 with 3 ResNet
+layers per block, self-attention at 16x16 with head dim 64, GroupNorm(32,
+eps 1e-6), SiLU, dropout 0.2, zero-pad-right stride-2 downsampling
+(downsample_padding=0), nearest-neighbor x2 + conv upsampling, mid block
+resnet-attn-resnet.
+
+TPU-first design decisions:
+  * NHWC layout end-to-end (XLA's native conv layout on TPU; the reference
+    is NCHW).
+  * All matmuls/convs take a ``dtype`` compute policy (bf16 on TPU for the
+    MXU) with fp32 params and fp32 softmax/GroupNorm statistics.
+  * Attention is one fused ``einsum`` pair per block at 16x16x256 — XLA maps
+    it straight onto the MXU; no custom kernel needed at this size.
+  * The time embedding MLP runs in fp32 (cheap, numerically sensitive).
+
+The model takes continuous ``tau in [0, 1]`` (the reference feeds tau
+directly into the diffusers timestep embedding, unet.py:30-31).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def sinusoidal_time_embedding(
+    timesteps: Array,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = False,
+    freq_shift: float = 1.0,
+    max_period: float = 10_000.0,
+) -> Array:
+    """Transformer-style sinusoidal embedding of (possibly fractional)
+    timesteps. Matches diffusers ``get_timestep_embedding`` semantics
+    (downscale_freq_shift = freq_shift)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimeEmbedding(nn.Module):
+    """Two-layer SiLU MLP lifting the sinusoidal embedding (fp32)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, t_sinusoidal: Array) -> Array:
+        h = nn.Dense(self.embed_dim, name="linear_1")(t_sinusoidal)
+        h = nn.silu(h)
+        return nn.Dense(self.embed_dim, name="linear_2")(h)
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    dropout: float
+    norm_groups: int
+    norm_eps: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Array, *, deterministic: bool) -> Array:
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(
+            num_groups=self.norm_groups, epsilon=self.norm_eps, name="norm1",
+            dtype=jnp.float32,
+        )(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", dtype=self.dtype)(h)
+
+        t = nn.Dense(self.out_channels, name="time_emb_proj", dtype=self.dtype)(
+            nn.silu(temb).astype(self.dtype)
+        )
+        h = h + t[:, None, None, :]
+
+        h = nn.GroupNorm(
+            num_groups=self.norm_groups, epsilon=self.norm_eps, name="norm2",
+            dtype=jnp.float32,
+        )(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", dtype=self.dtype)(h)
+
+        if in_ch != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), name="conv_shortcut", dtype=self.dtype
+            )(x)
+        return x + h
+
+
+class AttentionBlock(nn.Module):
+    """Single-image spatial self-attention (the deprecated-style attn block
+    with residual connection and fp32 softmax)."""
+
+    head_dim: int
+    norm_groups: int
+    norm_eps: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        B, H, W, C = x.shape
+        heads = max(1, C // self.head_dim)
+        hd = C // heads
+        h = nn.GroupNorm(
+            num_groups=self.norm_groups, epsilon=self.norm_eps,
+            name="group_norm", dtype=jnp.float32,
+        )(x)
+        h = h.reshape(B, H * W, C).astype(self.dtype)
+        q = nn.Dense(C, name="to_q", dtype=self.dtype)(h)
+        k = nn.Dense(C, name="to_k", dtype=self.dtype)(h)
+        v = nn.Dense(C, name="to_v", dtype=self.dtype)(h)
+
+        def split(t):
+            return t.reshape(B, H * W, heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(hd)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, H * W, C)
+        out = nn.Dense(C, name="to_out", dtype=self.dtype)(out)
+        return x + out.reshape(B, H, W, C)
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv; with pad_mode 'zero_right' replicates diffusers'
+    downsample_padding=0 behavior (asymmetric (0,1,0,1) zero pad + VALID)."""
+
+    channels: int
+    padding: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.padding == 0:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad = "VALID"
+        else:
+            pad = self.padding
+        return nn.Conv(
+            self.channels, (3, 3), strides=(2, 2), padding=pad, name="conv",
+            dtype=self.dtype,
+        )(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, name="conv", dtype=self.dtype)(x)
+
+
+class UNet2D(nn.Module):
+    """Config mirror of diffusers UNet2DModel for the reference experiments.
+
+    ``down_block_types`` entries: "DownBlock2D" | "AttnDownBlock2D";
+    ``up_block_types``: "UpBlock2D" | "AttnUpBlock2D". Input/output NHWC.
+    """
+
+    in_channels: int = 3
+    out_channels: int = 3
+    block_out_channels: Sequence[int] = (128, 256, 256, 256)
+    down_block_types: Sequence[str] = (
+        "DownBlock2D", "AttnDownBlock2D", "DownBlock2D", "DownBlock2D"
+    )
+    up_block_types: Sequence[str] = (
+        "UpBlock2D", "UpBlock2D", "AttnUpBlock2D", "UpBlock2D"
+    )
+    layers_per_block: int = 3
+    attention_head_dim: int = 64
+    dropout: float = 0.2
+    norm_groups: int = 32
+    norm_eps: float = 1e-6
+    freq_shift: float = 1.0
+    flip_sin_to_cos: bool = False
+    add_mid_attention: bool = True
+    downsample_padding: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, tau: Array, *, deterministic: bool = True) -> Array:
+        ch0 = self.block_out_channels[0]
+        temb = sinusoidal_time_embedding(
+            tau, ch0, flip_sin_to_cos=self.flip_sin_to_cos,
+            freq_shift=self.freq_shift,
+        )
+        temb = TimeEmbedding(embed_dim=ch0 * 4, name="time_embedding")(temb)
+
+        def resnet(out_ch, name):
+            return ResnetBlock(
+                out_channels=out_ch, dropout=self.dropout,
+                norm_groups=self.norm_groups, norm_eps=self.norm_eps,
+                dtype=self.dtype, name=name,
+            )
+
+        def attn(name):
+            return AttentionBlock(
+                head_dim=self.attention_head_dim, norm_groups=self.norm_groups,
+                norm_eps=self.norm_eps, dtype=self.dtype, name=name,
+            )
+
+        h = nn.Conv(ch0, (3, 3), padding=1, name="conv_in", dtype=self.dtype)(
+            x.astype(self.dtype)
+        )
+        skips = [h]
+
+        # ---- down path ----
+        n_blocks = len(self.block_out_channels)
+        for i, (btype, out_ch) in enumerate(
+            zip(self.down_block_types, self.block_out_channels)
+        ):
+            for j in range(self.layers_per_block):
+                h = resnet(out_ch, f"down_{i}_resnet_{j}")(
+                    h, temb, deterministic=deterministic
+                )
+                if btype == "AttnDownBlock2D":
+                    h = attn(f"down_{i}_attn_{j}")(h)
+                skips.append(h)
+            if i < n_blocks - 1:
+                h = Downsample(
+                    out_ch, self.downsample_padding, dtype=self.dtype,
+                    name=f"down_{i}_downsample",
+                )(h)
+                skips.append(h)
+
+        # ---- mid ----
+        mid_ch = self.block_out_channels[-1]
+        h = resnet(mid_ch, "mid_resnet_0")(h, temb, deterministic=deterministic)
+        if self.add_mid_attention:
+            h = attn("mid_attn")(h)
+        h = resnet(mid_ch, "mid_resnet_1")(h, temb, deterministic=deterministic)
+
+        # ---- up path ----
+        for i, btype in enumerate(self.up_block_types):
+            out_ch = self.block_out_channels[::-1][i]
+            for j in range(self.layers_per_block + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = resnet(out_ch, f"up_{i}_resnet_{j}")(
+                    h, temb, deterministic=deterministic
+                )
+                if btype == "AttnUpBlock2D":
+                    h = attn(f"up_{i}_attn_{j}")(h)
+            if i < n_blocks - 1:
+                h = Upsample(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
+
+        assert not skips, f"unconsumed skip connections: {len(skips)}"
+
+        h = nn.GroupNorm(
+            num_groups=self.norm_groups, epsilon=self.norm_eps,
+            name="conv_norm_out", dtype=jnp.float32,
+        )(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv_out",
+                    dtype=self.dtype)(h)
+        return h.astype(jnp.float32)
+
+
+def unet_from_config(
+    image_channels: int,
+    unet_config: Optional[Dict[str, Any]] = None,
+    dtype: Any = jnp.float32,
+) -> UNet2D:
+    """Build a UNet2D from a reference-style unet_config dict
+    (config/groups/ddpm.yaml keys)."""
+    cfg = dict(unet_config or {})
+    return UNet2D(
+        in_channels=image_channels,
+        out_channels=image_channels,
+        block_out_channels=tuple(cfg.get("block_out_channels", (128, 256, 256, 256))),
+        down_block_types=tuple(
+            cfg.get(
+                "down_block_types",
+                ("DownBlock2D", "AttnDownBlock2D", "DownBlock2D", "DownBlock2D"),
+            )
+        ),
+        up_block_types=tuple(
+            cfg.get(
+                "up_block_types",
+                ("UpBlock2D", "UpBlock2D", "AttnUpBlock2D", "UpBlock2D"),
+            )
+        ),
+        layers_per_block=int(cfg.get("layers_per_block", 3)),
+        attention_head_dim=int(cfg.get("attention_head_dim", 64)),
+        dropout=float(cfg.get("dropout", 0.2)),
+        norm_eps=float(cfg.get("norm_eps", 1e-6)),
+        freq_shift=float(cfg.get("freq_shift", 1.0)),
+        flip_sin_to_cos=bool(cfg.get("flip_sin_to_cos", False)),
+        downsample_padding=int(cfg.get("downsample_padding", 0)),
+        dtype=dtype,
+    )

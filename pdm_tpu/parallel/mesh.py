@@ -1,0 +1,85 @@
+"""Device mesh construction and sharding rules.
+
+The framework's parallelism model (new capability — the reference is
+single-accelerator, SURVEY §5):
+
+* axis ``data``  — batch / MC-trajectory / dataset-N axis (pure DP or the
+  sharded-dataset stats reductions)
+* axis ``model`` — tensor parallelism over channel/head dimensions of the
+  UNet (attention heads and wide conv channels shard over it)
+
+Mesh axes lay out so ``data`` is outermost (DCN-ready) and ``model`` rides
+ICI. On a single host this is one `Mesh` over all local devices; multi-host
+entry goes through ``jax.distributed.initialize`` before building the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ("data", "model") mesh. ``data`` defaults to
+    n_devices // model."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x, mesh: Mesh):
+    """Place an array (or pytree of arrays) batch-sharded on the mesh."""
+    return jax.device_put(x, batch_sharding(mesh))
+
+
+def _leaf_spec(path: Tuple, leaf, model_axis_size: int) -> P:
+    """Tensor-parallel sharding rule for UNet parameters.
+
+    Shard the widest channel dimension over 'model' where divisible:
+    * conv kernels (H, W, Cin, Cout): shard Cout
+    * dense kernels (Cin, Cout): shard Cout
+    * biases / norm scales: replicate (small)
+    The rule is conservative — anything not divisible stays replicated, so
+    the same code runs on a model=1 mesh unchanged.
+    """
+    if leaf.ndim >= 2 and leaf.shape[-1] % model_axis_size == 0:
+        return P(*([None] * (leaf.ndim - 1)), "model")
+    return P()
+
+
+def params_sharding(params, mesh: Mesh):
+    """NamedSharding pytree for model parameters: output-channel TP over
+    'model', replicated over 'data'."""
+    m = mesh.shape["model"]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf, m)),
+        params,
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda leaf, sh: jax.device_put(leaf, sh),
+        params,
+        params_sharding(params, mesh),
+    )

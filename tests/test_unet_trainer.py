@@ -1,0 +1,174 @@
+"""UNet architecture + trainer: shape/flow checks, LR schedule parity,
+tiny-overfit learning signal, checkpoint resume, and mesh-sharded steps."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdm_tpu.diffusion.trainer import DDPMTrainer, warmup_linear_decay
+from pdm_tpu.models.unet import UNet2D, sinusoidal_time_embedding, unet_from_config
+from pdm_tpu.models.unet_ddpm import init_unet_ddpm
+from pdm_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from pdm_tpu.schedulers.analytic import LinearBetaScheduler
+
+TINY = dict(
+    block_out_channels=(8, 16),
+    down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+    up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+    layers_per_block=1,
+    attention_head_dim=8,
+    norm_groups=4,
+    dropout=0.0,
+)
+
+
+def tiny_unet(channels=1):
+    return UNet2D(in_channels=channels, out_channels=channels, **TINY)
+
+
+def test_time_embedding_shapes_and_values():
+    emb = sinusoidal_time_embedding(jnp.asarray([0.0, 0.5]), 8, freq_shift=1.0)
+    assert emb.shape == (2, 8)
+    # tau=0: sin part zero, cos part one
+    np.testing.assert_allclose(np.asarray(emb[0, :4]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 4:]), 1.0, atol=1e-6)
+
+
+def test_unet_forward_shape_and_param_count():
+    net = tiny_unet()
+    x = jnp.zeros((2, 16, 16, 1))
+    params = net.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))["params"]
+    out = net.apply({"params": params}, x, jnp.asarray([0.1, 0.9]))
+    assert out.shape == (2, 16, 16, 1)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    assert n_params > 1000
+
+
+def test_reference_config_unet_builds():
+    """The full CIFAR-10 config (128/256/256/256, 3 layers, attn@16) builds
+    and has the expected parameter scale (~57M, diffusers-comparable)."""
+    net = unet_from_config(3, {
+        "freq_shift": 1, "flip_sin_to_cos": False,
+        "down_block_types": ["DownBlock2D", "AttnDownBlock2D", "DownBlock2D", "DownBlock2D"],
+        "up_block_types": ["UpBlock2D", "UpBlock2D", "AttnUpBlock2D", "UpBlock2D"],
+        "block_out_channels": [128, 256, 256, 256],
+        "downsample_padding": 0, "attention_head_dim": 64,
+        "dropout": 0.2, "norm_eps": 1e-6, "layers_per_block": 3,
+    })
+    x = jnp.zeros((1, 32, 32, 3))
+    params = jax.eval_shape(
+        lambda k: net.init(k, x, jnp.zeros((1,)))["params"], jax.random.PRNGKey(0)
+    )
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    assert 40e6 < n_params < 80e6, f"{n_params/1e6:.1f}M params"
+
+
+def test_lr_schedule_parity():
+    sched = warmup_linear_decay(1.0, warmup_steps=10, total_iters=110)
+    np.testing.assert_allclose(float(sched(0)), 0.0, atol=1e-7)
+    np.testing.assert_allclose(float(sched(5)), 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(sched(10)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(sched(60)), 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(sched(110)), 0.0, atol=1e-6)
+
+
+def make_trainer(tmp_path=None, **kw):
+    sched = LinearBetaScheduler(1e-4, 1e2)
+    net = tiny_unet()
+    ddpm = init_unet_ddpm(
+        jax.random.PRNGKey(0), sched, net, (1, 16, 16), parametrization="eps"
+    )
+    defaults = dict(
+        learning_rate=2e-3, warmup_steps=5, total_iters=60, grad_clip=1.0,
+        ema_decay=0.99, eval_steps=10_000,
+        checkpoint_dir=str(tmp_path) if tmp_path else None,
+    )
+    defaults.update(kw)
+    return DDPMTrainer(ddpm=ddpm, **defaults)
+
+
+def test_training_reduces_loss():
+    trainer = make_trainer()
+    data = jnp.asarray(np.random.RandomState(0).randn(256, 1, 16, 16).astype(np.float32) * 0.5)
+    state = trainer.init_state()
+    losses = []
+    for it in range(1, 41):
+        key = jax.random.fold_in(jax.random.PRNGKey(1), it)
+        idx = jax.random.randint(jax.random.fold_in(key, 0), (32,), 0, 256)
+        state, m = trainer.train_step(state, key, data[idx])
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.9, losses
+    assert int(state.step) == 40
+    # EMA params differ from raw params but stay close
+    d = jax.tree_util.tree_map(lambda a, b: jnp.abs(a - b).max(), state.params, state.ema_params)
+    max_diff = max(float(x) for x in jax.tree_util.tree_leaves(d))
+    assert 0 < max_diff < 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer = make_trainer(tmp_path / "ckpt")
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
+    data = jnp.asarray(np.random.RandomState(0).randn(64, 1, 16, 16).astype(np.float32))
+    state = trainer.init_state()
+    for it in range(1, 6):
+        key = jax.random.fold_in(jax.random.PRNGKey(2), it)
+        state, _ = trainer.train_step(state, key, data[:16])
+    trainer.save_checkpoint(state, 5)
+    assert trainer.latest_checkpoint_step() == 5
+    restored = trainer.load_checkpoint(trainer.init_state(), 5)
+    assert int(restored.step) == 5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7),
+        state.params, restored.params,
+    )
+
+
+def test_train_loop_with_resume(tmp_path):
+    ckpt = tmp_path / "loop_ckpt"
+    os.makedirs(ckpt, exist_ok=True)
+    logged = []
+    trainer = make_trainer(
+        ckpt, total_iters=6, checkpoint_every=3,
+        log_fn=lambda step, m: logged.append((step, m)),
+    )
+    data = jnp.asarray(np.random.RandomState(1).randn(64, 1, 16, 16).astype(np.float32))
+    state = trainer.train(data, batch_size=16, total_iters=3, log_every=1)
+    assert int(state.step) == 3
+    # resume continues from step 3
+    trainer2 = make_trainer(ckpt, total_iters=6, checkpoint_every=3)
+    state2 = trainer2.train(data, batch_size=16, total_iters=6)
+    assert int(state2.step) == 6
+    assert any("learning_rate" in m for _, m in logged)
+
+
+def test_sharded_train_step_matches_unsharded():
+    """Batch sharded over the 8-device 'data' axis, params over 'model':
+    the sharded step produces the same loss as the replicated one."""
+    mesh = make_mesh(data=4, model=2)
+    trainer = make_trainer()
+    data = np.random.RandomState(3).randn(32, 1, 16, 16).astype(np.float32)
+
+    state = trainer.init_state()
+    key = jax.random.PRNGKey(7)
+    _, m_ref = trainer.train_step(state, key, jnp.asarray(data))
+
+    with mesh:
+        state2 = trainer.init_state()
+        state2 = TrainStateShard(state2, mesh)
+        x_sh = shard_batch(jnp.asarray(data), mesh)
+        _, m_sh = trainer.train_step(state2, key, x_sh)
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-4)
+
+
+def TrainStateShard(state, mesh):
+    from pdm_tpu.diffusion.trainer import TrainState
+
+    return TrainState(
+        step=state.step,
+        params=shard_params(state.params, mesh),
+        ema_params=shard_params(state.ema_params, mesh),
+        opt_state=jax.tree_util.tree_map(lambda x: x, state.opt_state),
+    )
