@@ -1,0 +1,142 @@
+"""Data layer: dataset ingest to a device-resident tensor.
+
+TPU-first design: every dataset used by the reference (CIFAR-10 at 32x32 is
+600 MB in fp32; MNIST less) fits in one chip's HBM, so the framework loads
+the ENTIRE dataset to device once and training/stats draw minibatches with
+on-device gathers — eliminating the reference's per-step host->device copy
+(ddpm_trainer.py:194) and its DataLoader worker processes.
+
+Sources:
+  * HF datasets (when available in the local cache — this environment has
+    no egress; loading gracefully reports if the dataset isn't cached)
+  * synthetic generators (utils/synthetic.py) — fully offline
+
+Transforms match the reference (data.py:23-68): resize to the config's
+image size, scale to [-1, 1]. Horizontal-flip augmentation is applied
+per-batch on device by the trainer, not at ingest.
+
+Capability parity: reference ``utils/data.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Generator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..config.config import Config
+from . import synthetic
+
+
+def _to_chw_float(img, image_size: Tuple[int, int], channels: int) -> np.ndarray:
+    """PIL image or array -> (C, H, W) float32 in [-1, 1], resized."""
+    try:
+        from PIL import Image
+
+        if isinstance(img, Image.Image):
+            if img.size != (image_size[1], image_size[0]):
+                img = img.resize((image_size[1], image_size[0]), Image.BILINEAR)
+            arr = np.asarray(img)
+        else:
+            arr = np.asarray(img)
+    except ImportError:  # pragma: no cover
+        arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape[-1] != channels:
+        if channels == 1:
+            arr = arr.mean(-1, keepdims=True)
+        else:
+            arr = np.repeat(arr[:, :, :1], channels, axis=-1)
+    arr = arr.astype(np.float32) / 255.0
+    return np.transpose(arr * 2.0 - 1.0, (2, 0, 1))
+
+
+def load_hf_images(
+    hf_name: str,
+    image_key: str,
+    image_size: Tuple[int, int],
+    channels: int,
+    split: str = "train",
+    limit: Optional[int] = None,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """(N, C, H, W) float32 in [-1, 1] (+labels if present) from a
+    locally-cached HF dataset."""
+    from datasets import load_dataset  # type: ignore
+
+    ds = load_dataset(hf_name, split=split)
+    n = len(ds) if limit is None else min(limit, len(ds))
+    imgs = np.empty((n, channels, *image_size), np.float32)
+    labels = None
+    if "label" in ds.column_names:
+        labels = np.empty((n,), np.int32)
+    for i in range(n):
+        row = ds[i]
+        imgs[i] = _to_chw_float(row[image_key], image_size, channels)
+        if labels is not None:
+            labels[i] = row["label"]
+    return imgs, labels
+
+
+def get_data_array(
+    config: Config, train: bool = True, limit: Optional[int] = None
+) -> np.ndarray:
+    """Host-side (N, C, H, W) array for the configured dataset."""
+    ds_cfg = config.dataset_config
+    if ds_cfg.synthetic_name is not None:
+        name = ds_cfg.synthetic_name
+        if name == "gmm1d":
+            return synthetic.generate_gmm_1d(1_000_000)
+        if name == "anisotropic_gmm":
+            samples, _, _ = synthetic.generate_anisotropic_gmm(
+                dim=ds_cfg.image_size[0], n_samples=50_000
+            )
+            return samples
+        data = synthetic.generate_dataset(name, d=ds_cfg.channels)
+        return data.reshape(len(data), ds_cfg.channels, 1, 1)
+    if ds_cfg.hf_dataset_name is not None:
+        imgs, _ = load_hf_images(
+            ds_cfg.hf_dataset_name,
+            ds_cfg.image_key,
+            ds_cfg.image_size,
+            ds_cfg.channels,
+            split="train" if train else "test",
+            limit=limit,
+        )
+        return imgs
+    raise ValueError(f"dataset {ds_cfg.name} has no data source")
+
+
+def get_data_tensor(
+    config: Config, train: bool = True, limit: Optional[int] = None
+) -> Array:
+    """Device-resident dataset tensor (the framework's canonical form)."""
+    return jnp.asarray(get_data_array(config, train=train, limit=limit))
+
+
+def get_data_generator(
+    data: Array, batch_size: int, key: Optional[jax.Array] = None
+) -> Generator[Array, None, None]:
+    """Infinite shuffled minibatch generator over a device-resident dataset
+    (API parity with the reference's DataLoader generator)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    n = data.shape[0]
+    i = 0
+    while True:
+        idx = jax.random.randint(jax.random.fold_in(key, i), (batch_size,), 0, n)
+        yield jnp.take(data, idx, axis=0)
+        i += 1
+
+
+def to_uint8(images, values_range: Tuple[float, float] = (-1.0, 1.0)) -> np.ndarray:
+    a, b = values_range
+    x = np.clip(np.asarray(images), a, b)
+    return ((x - a) / (b - a) * 255.0).astype(np.uint8)
+
+
+def compute_dataset_average(data: Array) -> Array:
+    """Mean object over the dataset (streaming not needed: device-resident)."""
+    return jnp.mean(data, axis=0)

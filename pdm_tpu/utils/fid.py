@@ -1,0 +1,153 @@
+"""FID evaluation on-device: batched feature extraction, streaming moments,
+Newton-Schulz Frechet distance.
+
+Capability parity: reference ``utils/fid.py`` — streaming feature mean +
+full covariance, Frechet distance, reference-stats caching closure,
+LeNet features for MNIST and InceptionV3-2048 elsewhere. TPU-first: the
+covariance accumulates as (sum, outer-product sum) in fp32 psum-reducible
+form, and the matrix sqrt is the fused Newton-Schulz iteration
+(ops/sqrtm.py) instead of host SVD.
+
+The Inception path needs pretrained weights; in this offline environment it
+loads them from a local npz (``PDM_INCEPTION_WEIGHTS``) when present; the
+MNIST/LeNet path is fully self-contained (models/lenet.py trains one).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..ops.sqrtm import trace_sqrtm_product
+
+
+# ---------------------------------------------------------------------------
+# streaming feature moments
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _moment_update(carry, feats: Array):
+    n, s, ss = carry
+    feats = feats.astype(jnp.float32)
+    n = n + feats.shape[0]
+    s = s + jnp.sum(feats, axis=0)
+    ss = ss + jnp.dot(feats.T, feats, preferred_element_type=jnp.float32)
+    return n, s, ss
+
+
+def feature_statistics(
+    data: Array,
+    feature_fn: Callable[[Array], Array],
+    feature_dim: int,
+    batch_size: int = 500,
+) -> Tuple[Array, Array]:
+    """(mu, Sigma) of features over a dataset, streaming in batches.
+
+    Unbiased covariance (matches torch.cov / the reference).
+    """
+    n_total = data.shape[0]
+    carry = (
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((feature_dim,), jnp.float32),
+        jnp.zeros((feature_dim, feature_dim), jnp.float32),
+    )
+    for i in range(0, n_total, batch_size):
+        feats = feature_fn(data[i : i + batch_size])
+        carry = _moment_update(carry, feats)
+    n, s, ss = carry
+    mu = s / n
+    sigma = (ss - n * jnp.outer(mu, mu)) / (n - 1.0)
+    return mu, sigma
+
+
+@jax.jit
+def frechet_distance(mu1: Array, sigma1: Array, mu2: Array, sigma2: Array) -> Array:
+    """FID = ||mu1 - mu2||^2 + tr(S1 + S2 - 2 sqrtm(S1 S2))."""
+    mean_term = jnp.sum(jnp.square(mu1 - mu2))
+    cov_term = (
+        jnp.trace(sigma1) + jnp.trace(sigma2)
+        - 2.0 * trace_sqrtm_product(sigma1, sigma2)
+    )
+    return mean_term + cov_term
+
+
+# ---------------------------------------------------------------------------
+# feature extractors
+# ---------------------------------------------------------------------------
+
+
+def lenet_feature_fn(checkpoint_path: str) -> Tuple[Callable[[Array], Array], int]:
+    """100-dim LeNet features for MNIST-shaped data (B, 1, H, W) in [-1,1].
+
+    The reference feeds the [-1, 1] tensors straight into LeNet
+    (utils/fid.py:40); same here.
+    """
+    from ..models.lenet import load_lenet
+
+    model, params = load_lenet(checkpoint_path)
+
+    @jax.jit
+    def fn(x: Array) -> Array:
+        return model.apply({"params": params}, x, features_only=True)
+
+    return fn, 100
+
+
+def inception_feature_fn() -> Tuple[Callable[[Array], Array], int]:
+    """InceptionV3 pool-2048 features (FID-standard) from local weights."""
+    path = os.environ.get("PDM_INCEPTION_WEIGHTS")
+    if not path or not os.path.exists(path):
+        raise FileNotFoundError(
+            "InceptionV3 FID weights not available offline; set "
+            "PDM_INCEPTION_WEIGHTS to a converted-npz path "
+            "(see pdm_tpu/models/inception.py) or use the LeNet path."
+        )
+    from ..models.inception import load_inception
+
+    model, params = load_inception(path)
+
+    @jax.jit
+    def fn(x: Array) -> Array:
+        return model.apply({"params": params}, x)
+
+    return fn, 2048
+
+
+def get_feature_fn(
+    dataset_name: str, lenet_checkpoint: str = "checkpoints/lenet_mnist.npz"
+) -> Tuple[Callable[[Array], Array], int]:
+    """Dataset dispatch, parity: reference utils/fid.py:43-48."""
+    if dataset_name == "mnist":
+        return lenet_feature_fn(lenet_checkpoint)
+    return inception_feature_fn()
+
+
+# ---------------------------------------------------------------------------
+# the cached-reference closure
+# ---------------------------------------------------------------------------
+
+
+def get_compute_fid(
+    reference_data: Array,
+    feature_fn: Callable[[Array], Array],
+    feature_dim: int,
+    batch_size: int = 500,
+) -> Callable[[Array], float]:
+    """Closure caching the reference statistics (parity:
+    utils/fid.py:77-86)."""
+    mu_ref, sigma_ref = feature_statistics(
+        reference_data, feature_fn, feature_dim, batch_size
+    )
+
+    def compute(data: Array) -> float:
+        mu, sigma = feature_statistics(data, feature_fn, feature_dim, batch_size)
+        return float(frechet_distance(mu_ref, sigma_ref, mu, sigma))
+
+    return compute

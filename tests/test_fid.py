@@ -1,0 +1,160 @@
+"""FID machinery: Newton-Schulz sqrtm vs scipy, Gaussian Frechet closed
+form, streaming moments, LeNet train/save/load, Inception build."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdm_tpu.ops.sqrtm import sqrtm_newton_schulz, trace_sqrtm_product
+from pdm_tpu.utils.fid import (
+    feature_statistics,
+    frechet_distance,
+    get_compute_fid,
+)
+
+
+def random_spd(dim, seed, scale=1.0):
+    rng = np.random.RandomState(seed)
+    a = rng.randn(dim, dim)
+    return (a @ a.T / dim + 0.1 * np.eye(dim)).astype(np.float32) * scale
+
+
+def test_sqrtm_matches_scipy():
+    scipy_linalg = pytest.importorskip("scipy.linalg")
+    a = random_spd(64, 0)
+    got = np.asarray(sqrtm_newton_schulz(jnp.asarray(a), num_iters=25))
+    want = scipy_linalg.sqrtm(a).real
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    # and the trace of the product form
+    b = random_spd(64, 1)
+    got_tr = float(trace_sqrtm_product(jnp.asarray(a), jnp.asarray(b)))
+    want_tr = np.trace(scipy_linalg.sqrtm(a @ b).real)
+    np.testing.assert_allclose(got_tr, want_tr, rtol=1e-3)
+
+
+def test_frechet_gaussian_closed_form():
+    """FID between N(m1, s1 I) and N(m2, s2 I) in dim d:
+    ||m1-m2||^2 + d (sqrt(s1) - sqrt(s2))^2."""
+    d = 32
+    mu1 = jnp.zeros(d)
+    mu2 = jnp.full((d,), 0.5)
+    s1, s2 = 2.0, 0.5
+    fid = float(
+        frechet_distance(
+            mu1, s1 * jnp.eye(d), mu2, s2 * jnp.eye(d)
+        )
+    )
+    want = d * 0.25 + d * (np.sqrt(s1) - np.sqrt(s2)) ** 2
+    np.testing.assert_allclose(fid, want, rtol=1e-3)
+
+
+def test_feature_statistics_streaming():
+    rng = np.random.RandomState(2)
+    data = rng.randn(1000, 16).astype(np.float32)
+    mu, sigma = feature_statistics(
+        jnp.asarray(data), lambda x: x, 16, batch_size=128
+    )
+    np.testing.assert_allclose(np.asarray(mu), data.mean(0), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sigma), np.cov(data.T), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_compute_fid_closure_discriminates():
+    """FID(ref, ref-like) << FID(ref, shifted)."""
+    rng = np.random.RandomState(3)
+    ref = rng.randn(2000, 8).astype(np.float32)
+    close = rng.randn(2000, 8).astype(np.float32)
+    far = close + 2.0
+    compute = get_compute_fid(jnp.asarray(ref), lambda x: x, 8)
+    fid_close = compute(jnp.asarray(close))
+    fid_far = compute(jnp.asarray(far))
+    assert fid_close < 0.2
+    assert fid_far > 8.0 * 4 * 0.9  # ~ d * shift^2
+
+
+def test_lenet_train_and_features(tmp_path):
+    from pdm_tpu.models.lenet import LeNet, load_lenet, save_lenet, train_lenet
+
+    rng = np.random.RandomState(4)
+    # two linearly separable classes
+    x = rng.randn(512, 1, 8, 8).astype(np.float32)
+    y = (x.reshape(512, -1).sum(1) > 0).astype(np.int32)
+    model, params = train_lenet(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y),
+        batch_size=64, epochs=8, verbose=False,
+    )
+    logits = model.apply({"params": params}, jnp.asarray(x))
+    acc = float(jnp.mean(jnp.argmax(logits, -1) == jnp.asarray(y)))
+    assert acc > 0.9
+    feats = model.apply({"params": params}, jnp.asarray(x[:10]), features_only=True)
+    assert feats.shape == (10, 100)
+    # save/load roundtrip
+    path = str(tmp_path / "lenet.npz")
+    save_lenet(params, path)
+    _, params2 = load_lenet(path)
+    logits2 = LeNet().apply({"params": params2}, jnp.asarray(x[:10]))
+    np.testing.assert_allclose(
+        np.asarray(logits2), np.asarray(logits[:10]), atol=1e-5
+    )
+
+
+def test_inception_builds_and_runs():
+    """Random-init InceptionV3 produces 2048-dim features on 32x32 input
+    (resized internally to 299)."""
+    from pdm_tpu.models.inception import InceptionV3Features
+
+    model = InceptionV3Features()
+    x = jnp.zeros((2, 3, 32, 32), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2, 2048)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    # torchvision inception_v3 feature trunk is ~21.8M params
+    assert 20e6 < n_params < 25e6, f"{n_params/1e6:.1f}M"
+
+
+def test_inception_torch_conversion_structure():
+    """The torch-state-dict converter produces the exact flax param tree."""
+    from pdm_tpu.models.inception import (
+        InceptionV3Features, convert_torch_state_dict,
+    )
+
+    model = InceptionV3Features()
+    x = jnp.zeros((1, 3, 32, 32), jnp.float32)
+    ref_params = jax.eval_shape(lambda k: model.init(k, x)["params"], jax.random.PRNGKey(0))
+
+    # synthesize a fake torch state dict with matching shapes
+    fake_sd = {}
+
+    def walk(tree, scope):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, scope + [k])
+            else:
+                if k == "kernel":
+                    h, w, i, o = v.shape
+                    fake_sd[".".join(scope[:-1]) + ".conv.weight"] = np.zeros(
+                        (o, i, h, w), np.float32
+                    )
+                else:
+                    name = {
+                        "bn_scale": "weight", "bn_bias": "bias",
+                        "bn_mean": "running_mean", "bn_var": "running_var",
+                    }[k]
+                    fake_sd[".".join(scope) + f".bn.{name}"] = np.zeros(
+                        v.shape, np.float32
+                    )
+
+    walk(ref_params, [])
+    converted = convert_torch_state_dict(fake_sd)
+    ref_paths = {
+        tuple(str(getattr(p, "key", p)) for p in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(ref_params)[0]
+    }
+    conv_paths = {
+        tuple(str(getattr(p, "key", p)) for p in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(converted)[0]
+    }
+    assert ref_paths == conv_paths
