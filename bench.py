@@ -73,11 +73,11 @@ def main():
     data = jnp.asarray(rng.standard_normal((50_000, 3072)).astype(np.float32))
     x = jnp.asarray(rng.standard_normal((1024, 3072)).astype(np.float32))
     mom = boltzmann_moments(x, data, inv_temp=1.0)  # compile
-    jax.block_until_ready(mom.log_z)
+    _ = float(mom.log_z[0])  # axon: block_until_ready is unreliable; force a fetch
     t0 = time.time()
     for i in range(3):
         mom = boltzmann_moments(x, data, inv_temp=1.0 + i)
-    jax.block_until_ready(mom.log_z)
+        _ = float(mom.log_z[0])
     pairs_per_sec = 3 * 1024 * 50_000 / (time.time() - t0)
     print(
         f"[bench] compile={compile_s:.1f}s sample_batch={dt:.2f}s "

@@ -47,7 +47,24 @@ from ..core.temperature import (
     one_minus_alpha_bar_from_log_temp,
 )
 
-DEFAULT_CHUNK = 1024
+DEFAULT_CHUNK = 0  # 0 = adaptive (see _auto_chunk)
+
+# memory budgets for the streamed buffers (fp32 words)
+_MAX_LOGIT_WORDS = 128 * 1024 * 1024  # B x chunk logits buffer: 512 MB
+_MAX_YCHUNK_WORDS = 64 * 1024 * 1024  # chunk x D dataset tile: 256 MB
+
+
+def _auto_chunk(B: int, N: int, D: int) -> int:
+    """Pick the dataset-axis tile so each scan iteration is a large,
+    MXU-saturating GEMM: as big as fits the memory budgets, multiple of
+    128 lanes, at least 1024. Low-D problems (the GMM experiments) get
+    tiles of 10^5-10^6 points, collapsing the scan to a handful of
+    iterations instead of ~N/1024 dispatch-bound steps."""
+    by_logits = _MAX_LOGIT_WORDS // max(B, 1)
+    by_tile = _MAX_YCHUNK_WORDS // max(D, 1)
+    chunk = max(1024, min(by_logits, by_tile))
+    chunk = min(chunk, -(-N // 128) * 128)
+    return max(128, (chunk // 128) * 128)
 
 
 class BoltzmannMoments(NamedTuple):
@@ -117,7 +134,8 @@ def _scan_raw(
 ) -> _RawAcc:
     B, D = xf.shape
     N = yf.shape[0]
-    chunk = min(chunk_size, N)
+    chunk = chunk_size if chunk_size else _auto_chunk(B, N, D)
+    chunk = min(chunk, N)
     n_chunks = -(-N // chunk)
     pad = n_chunks * chunk - N
     yp = jnp.pad(yf, ((0, pad), (0, 0))) if pad else yf

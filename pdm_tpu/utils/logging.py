@@ -1,0 +1,126 @@
+"""Training observability: CSV metrics logger (wandb-optional) and the
+periodic evaluation hook (sample grid + FID on EMA weights).
+
+Capability parity: reference trainer's wandb logging + evaluate()
+(ddpm_trainer.py:104-150, 182-213). Offline-first: CSV always; wandb only
+if importable and WANDB_MODE allows.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class CSVLogger:
+    """Append-only CSV of (step, metric, value, wall_time)."""
+
+    def __init__(self, path: str, use_wandb: bool = False, run_name: str = ""):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._new = not os.path.exists(path)
+        self._wandb = None
+        if use_wandb:
+            try:  # pragma: no cover - wandb optional
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(
+                    project="physics-of-diffusion-models",
+                    name=run_name or None,
+                    id=run_name or None,
+                    resume="allow",
+                )
+            except Exception:
+                self._wandb = None
+
+    def __call__(self, step: int, metrics: Dict[str, float]) -> None:
+        with open(self.path, "a", newline="") as f:
+            writer = csv.writer(f)
+            if self._new:
+                writer.writerow(["step", "metric", "value", "time"])
+                self._new = False
+            now = time.time()
+            for k, v in metrics.items():
+                writer.writerow([step, k, v, now])
+        if self._wandb is not None:  # pragma: no cover
+            self._wandb.log(metrics, step=step)
+
+
+def save_image_grid(images: np.ndarray, path: str, nrow: int = 5) -> None:
+    """(N, C, H, W) in [-1, 1] -> PNG grid."""
+    from ..utils.data import to_uint8
+
+    imgs = to_uint8(images)
+    n, c, h, w = imgs.shape
+    ncol = nrow
+    nrows = int(np.ceil(n / ncol))
+    grid = np.zeros((c, nrows * h, ncol * w), np.uint8)
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        grid[:, r * h : (r + 1) * h, col * w : (col + 1) * w] = imgs[i]
+    arr = np.transpose(grid, (1, 2, 0))
+    if c == 1:
+        arr = arr[:, :, 0]
+    try:
+        from PIL import Image
+
+        Image.fromarray(arr).save(path)
+    except ImportError:  # pragma: no cover
+        np.save(path + ".npy", arr)
+
+
+def make_eval_fn(config, reference_data, sample_dir: str = "eval_samples"):
+    """Periodic eval hook: DDIM-100 on EMA weights -> 25-image grid +
+    FID over fid_samples (parity: reference evaluate()). FID is skipped
+    gracefully when the feature extractor's weights are unavailable."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..diffusion.sampling import DDPMSampler
+    from ..schedulers.from_config import scheduler_from_config
+
+    compute_fid = None
+    try:
+        from .fid import get_compute_fid, get_feature_fn
+
+        feature_fn, fdim = get_feature_fn(config.dataset_name)
+        compute_fid = get_compute_fid(reference_data, feature_fn, fdim)
+    except Exception as e:  # pragma: no cover - offline weights missing
+        print(f"[eval] FID disabled: {e}")
+
+    os.makedirs(sample_dir, exist_ok=True)
+    scheduler = scheduler_from_config(config)
+
+    def eval_fn(ema_ddpm, step: int) -> Dict[str, float]:
+        sampler = DDPMSampler(
+            ddpm=ema_ddpm,
+            scheduler=scheduler,
+            n_steps=100,
+            obj_size=config.dataset_config.obj_size,
+            batch_size=min(500, config.dataset_config.fid_samples),
+            n_samples=25,
+            step_type="ddim",
+        )
+        grid = sampler.sample(jax.random.PRNGKey(step))["x"]
+        save_image_grid(grid, os.path.join(sample_dir, f"step_{step}.png"))
+        metrics: Dict[str, float] = {}
+        if compute_fid is not None:
+            sampler = DDPMSampler(
+                ddpm=ema_ddpm,
+                scheduler=scheduler,
+                n_steps=100,
+                obj_size=config.dataset_config.obj_size,
+                batch_size=500,
+                n_samples=config.dataset_config.fid_samples,
+                step_type="ddim",
+            )
+            samples = sampler.sample(jax.random.PRNGKey(step + 1))["x"]
+            metrics["fid_100_steps"] = compute_fid(jnp.asarray(samples))
+        return metrics
+
+    return eval_fn

@@ -1,0 +1,56 @@
+"""Model-based dS/dlogT sweep + integrated entropy ->
+stats/{exp}_empirical.npz (keys temp / entropy / rescaled_entropy /
+d_entropy_d_log_temp, anchored to 0 at max temperature).
+
+Parity: reference scripts/compute_stats_empirical.py.
+"""
+import numpy as np
+
+from _common import ensure_dirs, setup_jax, temp_grid
+from pdm_tpu.config.loader import with_config
+from pdm_tpu.config.config import Config
+
+
+@with_config(parse_args=(__name__ == "__main__"))
+def main(config: Config) -> None:
+    setup_jax()
+    import jax
+
+    from pdm_tpu.models.from_config import ddpm_from_config
+    from pdm_tpu.stats.model_metric import model_metric_stats
+    from pdm_tpu.utils.data import get_data_tensor
+
+    ensure_dirs("stats")
+    for dataset_name in config.available_datasets:
+        print(dataset_name)
+        config.dataset_name = dataset_name
+        data = get_data_tensor(config)
+        ddpm = ddpm_from_config(config, pretrained=True)
+        temp = temp_grid(config.diffusion.min_temp, config.diffusion.max_temp,
+                         config.empirical_stats.n_temps)
+        out = model_metric_stats(
+            jax.random.PRNGKey(0), ddpm, data, temp,
+            n_samples=config.empirical_stats.batch_size
+            * config.empirical_stats.n_steps_per_temp,
+            batch_size=config.empirical_stats.batch_size,
+        )
+        ds = out["metric"]  # = dS/dlogT
+        log_t = out["log_temp"]
+        d_log_temp = np.diff(log_t)
+        ent = np.concatenate([[0.0], np.cumsum(0.5 * (ds[1:] + ds[:-1]) * d_log_temp)])
+        ent -= ent[-1]
+        sigma = np.sqrt(out["temp"])
+        resc = np.concatenate(
+            [[0.0], np.cumsum(0.5 * (ds[1:] * sigma[1:] + ds[:-1] * sigma[:-1]) * d_log_temp)]
+        )
+        resc -= resc[-1]
+        np.savez(
+            config.empirical_stats_path,
+            temp=out["temp"], entropy=ent, rescaled_entropy=resc,
+            d_entropy_d_log_temp=ds,
+        )
+        print(f"saved {config.empirical_stats_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+"""Forward free-energy/entropy sweep -> stats/{ds}_forward.npz.
+
+Parity: reference scripts/compute_stats_forward.py (log-spaced temperature
+grid over the dataset's temp range, MC-averaged entropy estimator).
+"""
+import numpy as np
+
+from _common import ensure_dirs, setup_jax, temp_grid
+from pdm_tpu.config.loader import with_config
+from pdm_tpu.config.config import Config
+
+
+@with_config(parse_args=(__name__ == "__main__"))
+def main(config: Config) -> None:
+    setup_jax()
+    import jax
+
+    from pdm_tpu.stats.sweep import forward_stats
+    from pdm_tpu.utils.data import get_data_tensor
+
+    ensure_dirs("stats")
+    for dataset_name in config.available_datasets:
+        print(dataset_name)
+        config.dataset_name = dataset_name
+        data = get_data_tensor(config)
+        temp = temp_grid(*config.dataset_config.temp_range,
+                         config.forward_stats.n_temps)
+        stats = forward_stats(
+            jax.random.PRNGKey(0), data, temp,
+            n_samples=config.forward_stats.n_samples,
+            batch_size=config.forward_stats.batch_size,
+        )
+        np.savez(config.forward_stats_path, **stats)
+        print(f"saved {config.forward_stats_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Empirical (data-space) Fisher-Rao metric sweep -> stats/{ds}_metric.npz.
+
+Parity: the metric-estimation path of reference
+scripts/compute_cifar10_metric.py, generalized to any dataset; flags for
+manifold regularization (global floor / adaptive k-NN).
+"""
+import argparse
+
+import numpy as np
+
+from _common import ensure_dirs, setup_jax, temp_grid
+from pdm_tpu.config.loader import load_config, parse_args_from_config, update_config_from_args
+
+
+def main() -> None:
+    setup_jax()
+    import jax
+
+    from pdm_tpu.stats.sweep import metric_stats
+    from pdm_tpu.utils.data import get_data_tensor
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n_samples", type=int, default=2000)
+    parser.add_argument("--n_temps", type=int, default=100)
+    parser.add_argument("--regularize", action="store_true")
+    parser.add_argument("--adaptive_knn", action="store_true")
+    parser.add_argument("--knn_k", type=int, default=5)
+    parser.add_argument("--sigma_reg_scale", type=float, default=1e-4)
+    parser.add_argument("--dataset", type=str, default=None)
+    args = parser.parse_args()
+
+    config = load_config()
+    if args.dataset:
+        config.dataset_name = args.dataset
+    ensure_dirs("stats")
+    data = get_data_tensor(config)
+    temp = temp_grid(*config.dataset_config.temp_range, args.n_temps)
+    stats = metric_stats(
+        jax.random.PRNGKey(0), data, temp,
+        n_samples=args.n_samples,
+        batch_size=min(args.n_samples, 512),
+        regularize=args.regularize,
+        adaptive_knn=args.adaptive_knn,
+        knn_k=args.knn_k,
+        sigma_reg_scale=args.sigma_reg_scale,
+    )
+    np.savez(config.metric_stats_path, **stats)
+    print(f"saved {config.metric_stats_path}")
+
+
+if __name__ == "__main__":
+    main()

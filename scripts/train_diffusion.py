@@ -1,0 +1,43 @@
+"""Train the configured DDPM (parity: reference scripts/train_diffusion.py,
+with the latent DDPM.from_config bug fixed by construction)."""
+import os
+
+from _common import ensure_dirs, setup_jax
+from pdm_tpu.config.loader import with_config
+from pdm_tpu.config.config import Config
+
+
+@with_config(parse_args=(__name__ == "__main__"))
+def main(config: Config) -> None:
+    setup_jax()
+    import jax
+
+    from pdm_tpu.diffusion.trainer import DDPMTrainer
+    from pdm_tpu.models.from_config import ddpm_from_config
+    from pdm_tpu.utils.data import get_data_tensor
+    from pdm_tpu.utils.logging import CSVLogger, make_eval_fn
+
+    ensure_dirs(config.checkpoint_dir, "logs")
+    data = get_data_tensor(config)
+    ddpm = ddpm_from_config(config)
+    tc = config.ddpm_training
+    logger = CSVLogger(f"logs/{config.experiment_name}.csv")
+    trainer = DDPMTrainer(
+        ddpm=ddpm,
+        learning_rate=tc.learning_rate,
+        weight_decay=tc.weight_decay,
+        betas=tc.betas,
+        warmup_steps=tc.warmup_steps,
+        total_iters=tc.total_iters,
+        grad_clip=tc.grad_clip,
+        ema_decay=tc.ema_decay,
+        eval_steps=tc.eval_steps,
+        checkpoint_dir=config.checkpoint_dir,
+        eval_fn=make_eval_fn(config, data),
+        log_fn=logger,
+    )
+    trainer.train(data, batch_size=tc.batch_size, total_iters=tc.total_iters)
+
+
+if __name__ == "__main__":
+    main()
