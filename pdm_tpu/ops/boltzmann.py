@@ -238,16 +238,27 @@ def boltzmann_moments(
     compute_mean: bool = False,
     chunk_size: int = DEFAULT_CHUNK,
 ) -> BoltzmannMoments:
-    """Dispatch: Pallas kernel on TPU, lax.scan elsewhere."""
-    if jax.default_backend() == "tpu":
-        try:
-            from .boltzmann_pallas import boltzmann_moments_pallas
+    """Dispatch between the two implementations.
 
-            return boltzmann_moments_pallas(
-                x, y, inv_temp, y_scale, values=values, compute_mean=compute_mean
-            )
-        except Exception:  # pragma: no cover - fall back if kernel unsupported
-            pass
+    Default is the XLA lax.scan path: measured on TPU v5e it sustains
+    34-44 TF/s (fp32-in, multi-pass bf16 matmuls) because XLA tiles the
+    contraction (D) axis internally with large MXU blocks, while the
+    Pallas kernel must hold full-D x/y tiles in VMEM and is ~2x slower at
+    D=3072 (19 TF/s). Set PDM_BOLTZMANN_IMPL=pallas to use the fused
+    kernel (wins when XLA's fusion fails or for future bf16/quantized
+    variants).
+    """
+    import os
+
+    if (
+        os.environ.get("PDM_BOLTZMANN_IMPL") == "pallas"
+        and jax.default_backend() == "tpu"
+    ):
+        from .boltzmann_pallas import boltzmann_moments_pallas
+
+        return boltzmann_moments_pallas(
+            x, y, inv_temp, y_scale, values=values, compute_mean=compute_mean
+        )
     return boltzmann_moments_xla(
         x,
         y,

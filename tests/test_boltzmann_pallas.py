@@ -1,0 +1,43 @@
+"""Pallas Boltzmann kernel vs the XLA oracle (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdm_tpu.ops.boltzmann import boltzmann_moments_xla
+from pdm_tpu.ops.boltzmann_pallas import boltzmann_moments_pallas
+
+
+@pytest.mark.parametrize("B,N,D", [(9, 200, 12), (128, 1024, 64), (5, 300, 1)])
+def test_pallas_matches_xla(B, N, D):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    y = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    inv_temp = jnp.asarray(rng.uniform(0.5, 3.0, B).astype(np.float32))
+    y_scale = jnp.asarray(rng.uniform(0.5, 1.5, B).astype(np.float32))
+
+    ref = boltzmann_moments_xla(x, y, inv_temp, y_scale, compute_mean=True)
+    got = boltzmann_moments_pallas(
+        x, y, inv_temp, y_scale, compute_mean=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got.log_z), np.asarray(ref.log_z), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.e1), np.asarray(ref.e1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.var), np.asarray(ref.var), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(ref.mean), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_no_mean_and_values_payload():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(7, 8).astype(np.float32))
+    y = jnp.asarray(rng.randn(130, 8).astype(np.float32))
+    ref = boltzmann_moments_xla(x, y, 2.0)
+    got = boltzmann_moments_pallas(x, y, 2.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.log_z), np.asarray(ref.log_z), rtol=1e-5, atol=1e-5)
+    assert got.mean is None
+
+    vals = jnp.asarray(rng.randn(130, 3).astype(np.float32))
+    ref_v = boltzmann_moments_xla(x, y, 2.0, values=vals)
+    got_v = boltzmann_moments_pallas(x, y, 2.0, values=vals, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_v.mean), np.asarray(ref_v.mean), rtol=1e-4, atol=1e-4
+    )
