@@ -113,6 +113,7 @@ class DDPMSampler:
     precision: str = "full"  # "full" | "half" (bf16 model compute)
     track_states: bool = False
     log_temp: Optional[Array] = None  # custom grid overrides scheduler
+    batch_sharding: Optional[object] = None  # NamedSharding over 'data'
 
     def __post_init__(self):
         assert self.step_type in STEP_TYPES, self.step_type
@@ -136,6 +137,7 @@ class DDPMSampler:
             self.step_type,
             self.precision == "half",
             self.track_states,
+            self.batch_sharding,
         )
         out = {"x": xt}
         if states is not None:
@@ -160,7 +162,9 @@ class DDPMSampler:
 
 @partial(
     jax.jit,
-    static_argnames=("sample_shape", "step_type", "half", "track_states"),
+    static_argnames=(
+        "sample_shape", "step_type", "half", "track_states", "batch_sharding"
+    ),
 )
 def _sample_scan(
     ddpm: DDPM,
@@ -170,10 +174,15 @@ def _sample_scan(
     step_type: str,
     half: bool,
     track_states: bool,
+    batch_sharding=None,
 ):
     tables = _step_tables(grid)
     key, init_key = jax.random.split(key)
     xt = jax.random.normal(init_key, sample_shape, dtype=jnp.float32)
+    if batch_sharding is not None:
+        # data-parallel sampling: pin the batch axis to the mesh 'data'
+        # axis; every reverse step then stays chip-local (no collectives)
+        xt = jax.lax.with_sharding_constraint(xt, batch_sharding)
 
     def step(carry, inp):
         xt = carry

@@ -102,6 +102,7 @@ class DDPMTrainer:
     eval_fn: Optional[Callable[[UNetDDPM, int], Dict[str, float]]] = None
     log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None
     checkpoint_every: Optional[int] = None  # defaults to eval_steps
+    horizontal_flip: bool = False  # on-device per-batch augmentation
 
     def __post_init__(self):
         self.optimizer = make_optimizer(
@@ -247,7 +248,15 @@ class DDPMTrainer:
         @partial(jax.jit, donate_argnums=())
         def select_batch(step_key):
             idx = jax.random.randint(step_key, (batch_size,), 0, n)
-            return jnp.take(data, idx, axis=0)
+            x = jnp.take(data, idx, axis=0)
+            if self.horizontal_flip:
+                # the reference flips in its host-side transform pipeline
+                # (data.py:46-49); here it's a fused on-device where
+                flip = jax.random.bernoulli(
+                    jax.random.fold_in(step_key, 1), 0.5, (batch_size,)
+                )
+                x = jnp.where(flip[:, None, None, None], x[..., ::-1], x)
+            return x
 
         for it in range(start + 1, total + 1):
             step_key = jax.random.fold_in(key, it)

@@ -35,6 +35,10 @@ def main(config: Config) -> None:
         checkpoint_dir=config.checkpoint_dir,
         eval_fn=make_eval_fn(config, data),
         log_fn=logger,
+        horizontal_flip=(
+            config.data_augmentation.use_augmentation
+            and config.data_augmentation.horizontal_flip
+        ),
     )
     trainer.train(data, batch_size=tc.batch_size, total_iters=tc.total_iters)
 
