@@ -242,25 +242,39 @@ class DDPMTrainer:
             state = self.load_checkpoint(state, resume)
             start = resume
 
-        n = data.shape[0]
+        n = data.shape[0] if hasattr(data, "shape") else len(data)
         ckpt_every = self.checkpoint_every or self.eval_steps
+        host_resident = not hasattr(data, "devices")  # HostResidentData
 
         @partial(jax.jit, donate_argnums=())
-        def select_batch(step_key):
-            idx = jax.random.randint(step_key, (batch_size,), 0, n)
-            x = jnp.take(data, idx, axis=0)
+        def augment(x, step_key):
             if self.horizontal_flip:
                 # the reference flips in its host-side transform pipeline
                 # (data.py:46-49); here it's a fused on-device where
                 flip = jax.random.bernoulli(
-                    jax.random.fold_in(step_key, 1), 0.5, (batch_size,)
+                    jax.random.fold_in(step_key, 1), 0.5, (x.shape[0],)
                 )
                 x = jnp.where(flip[:, None, None, None], x[..., ::-1], x)
             return x
 
+        @partial(jax.jit, donate_argnums=())
+        def select_batch(step_key):
+            idx = jax.random.randint(step_key, (batch_size,), 0, n)
+            return augment(jnp.take(data, idx, axis=0), step_key)
+
+        import numpy as _np
+
+        host_rng = _np.random.RandomState(0)
+
         for it in range(start + 1, total + 1):
             step_key = jax.random.fold_in(key, it)
-            x0 = select_batch(jax.random.fold_in(step_key, 1))
+            if host_resident:
+                idx = host_rng.randint(0, n, batch_size)
+                x0 = augment(
+                    data.device_batch(idx), jax.random.fold_in(step_key, 1)
+                )
+            else:
+                x0 = select_batch(jax.random.fold_in(step_key, 1))
             state, metrics = self.train_step(state, jax.random.fold_in(step_key, 2), x0)
 
             if self.log_fn is not None and it % log_every == 0:

@@ -69,16 +69,50 @@ def load_hf_images(
 
     ds = load_dataset(hf_name, split=split)
     n = len(ds) if limit is None else min(limit, len(ds))
-    imgs = np.empty((n, channels, *image_size), np.float32)
     labels = None
     if "label" in ds.column_names:
         labels = np.empty((n,), np.int32)
+
+    # fast path: collect raw uint8 HWC frames, then one multithreaded
+    # native resize + normalize pass (pdm_tpu.runtime)
+    try:
+        from .. import runtime
+
+        raw = np.empty((n, *_first_hw(ds, image_key), channels), np.uint8)
+        for i in range(n):
+            row = ds[i]
+            raw[i] = _to_hwc_u8(row[image_key], channels)
+            if labels is not None:
+                labels[i] = row["label"]
+        raw = runtime.resize_bilinear_u8(raw, *image_size)
+        return runtime.normalize_u8_to_chw_f32(raw), labels
+    except Exception:
+        pass  # ragged sizes or no toolchain: per-image python path
+
+    imgs = np.empty((n, channels, *image_size), np.float32)
     for i in range(n):
         row = ds[i]
         imgs[i] = _to_chw_float(row[image_key], image_size, channels)
         if labels is not None:
             labels[i] = row["label"]
     return imgs, labels
+
+
+def _first_hw(ds, image_key):
+    arr = np.asarray(ds[0][image_key])
+    return arr.shape[0], arr.shape[1]
+
+
+def _to_hwc_u8(img, channels: int) -> np.ndarray:
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape[-1] != channels:
+        if channels == 1:
+            arr = arr.mean(-1, keepdims=True).astype(np.uint8)
+        else:
+            arr = np.repeat(arr[:, :, :1], channels, axis=-1)
+    return arr.astype(np.uint8)
 
 
 def get_data_array(
@@ -115,6 +149,55 @@ def get_data_tensor(
 ) -> Array:
     """Device-resident dataset tensor (the framework's canonical form)."""
     return jnp.asarray(get_data_array(config, train=train, limit=limit))
+
+
+# ---------------------------------------------------------------------------
+# host-resident path for datasets larger than HBM
+# ---------------------------------------------------------------------------
+
+HBM_DATA_BUDGET_BYTES = 8 << 30  # keep half of a v5e's 16 GB for the model
+
+
+class HostResidentData:
+    """Dataset kept in host RAM (optionally uint8-compressed / mmap'd from
+    a PDMC cache); per-step minibatches are gathered by the native C++
+    runtime into a staging buffer and shipped to device.
+
+    This is the path for the 256x256 families (>20 GB fp32), where the
+    reference streamed through DataLoader workers; device-resident arrays
+    (utils.data.get_data_tensor) remain the default for everything that
+    fits (SURVEY §7 hard part (e)).
+    """
+
+    def __init__(self, data, batch_size: int):
+        from .. import runtime
+
+        self._runtime = runtime
+        self.data = data
+        self.batch_size = batch_size
+        self.shape = data.shape
+        self._staging = np.empty(
+            (batch_size, int(np.prod(data.shape[1:]))), np.float32
+        )
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def gather(self, idx: np.ndarray) -> np.ndarray:
+        out = self._runtime.gather_rows(self.data, idx, self._staging)
+        return out.reshape(len(idx), *self.shape[1:])
+
+    def device_batch(self, idx: np.ndarray) -> Array:
+        return jnp.asarray(self.gather(idx))
+
+
+def get_dataset_any(config: Config, batch_size: int, train: bool = True):
+    """Device-resident jnp array when it fits the HBM budget, else a
+    HostResidentData wrapper."""
+    arr = get_data_array(config, train=train)
+    if arr.nbytes <= HBM_DATA_BUDGET_BYTES:
+        return jnp.asarray(arr)
+    return HostResidentData(arr, batch_size)
 
 
 def get_data_generator(

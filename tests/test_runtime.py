@@ -1,0 +1,130 @@
+"""Native C++ data runtime vs numpy oracles (builds the .so on first run)."""
+
+import numpy as np
+import pytest
+
+from pdm_tpu import runtime
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = runtime.get_lib()
+    if lib is None:
+        pytest.skip("no C++ toolchain available")
+    return lib
+
+
+def test_native_builds(lib):
+    assert lib.pdm_version() == 1
+
+
+def test_normalize_matches_numpy(lib):
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (7, 9, 11, 3), dtype=np.uint8)
+    got = runtime.normalize_u8_to_chw_f32(imgs)
+    want = np.transpose(imgs.astype(np.float32) * 2 / 255 - 1, (0, 3, 1, 2))
+    assert got.shape == (7, 3, 9, 11)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_resize_matches_numpy_fallback(lib):
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 256, (3, 16, 16, 3), dtype=np.uint8)
+    got = runtime.resize_bilinear_u8(imgs, 8, 8)
+    assert got.shape == (3, 8, 8, 3)
+    # identity when size unchanged
+    same = runtime.resize_bilinear_u8(imgs, 16, 16)
+    np.testing.assert_array_equal(same, imgs)
+    # corners preserved by align-corners resize
+    np.testing.assert_array_equal(got[:, 0, 0], imgs[:, 0, 0])
+    np.testing.assert_array_equal(got[:, -1, -1], imgs[:, -1, -1])
+    # interior matches float bilinear within rounding
+    ys = np.linspace(0, 15, 8)
+    xs = np.linspace(0, 15, 8)
+    y0, x0 = np.floor(ys).astype(int), np.floor(xs).astype(int)
+    y1, x1 = np.minimum(y0 + 1, 15), np.minimum(x0 + 1, 15)
+    wy, wx = ys - y0, xs - x0
+    img = imgs.astype(np.float32)
+    top = img[:, y0][:, :, x0] * (1 - wx)[None, None, :, None] + img[:, y0][:, :, x1] * wx[None, None, :, None]
+    bot = img[:, y1][:, :, x0] * (1 - wx)[None, None, :, None] + img[:, y1][:, :, x1] * wx[None, None, :, None]
+    want = top * (1 - wy)[None, :, None, None] + bot * wy[None, :, None, None]
+    assert np.abs(got.astype(np.float32) - want).max() <= 1.0
+
+
+def test_gather_rows_f32_and_u8(lib):
+    rng = np.random.RandomState(2)
+    data = rng.randn(100, 12).astype(np.float32)
+    idx = rng.randint(0, 100, 33)
+    got = runtime.gather_rows(data, idx)
+    np.testing.assert_array_equal(got, data[idx])
+
+    data_u8 = rng.randint(0, 256, (50, 4, 3), dtype=np.uint8)
+    got = runtime.gather_rows(data_u8, idx % 50)
+    want = data_u8[idx % 50].astype(np.float32) * 2 / 255 - 1
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_cache_roundtrip(tmp_path, lib):
+    rng = np.random.RandomState(3)
+    for arr in (
+        rng.randint(0, 256, (10, 3, 4, 4), dtype=np.uint8),
+        rng.randn(5, 7).astype(np.float32),
+    ):
+        path = str(tmp_path / f"cache_{arr.dtype}.pdmc")
+        runtime.write_cache(path, arr)
+        mm = runtime.read_cache(path, mmap=True)
+        np.testing.assert_array_equal(np.asarray(mm), arr)
+        full = runtime.read_cache(path, mmap=False)
+        np.testing.assert_array_equal(full, arr)
+
+
+def test_gather_throughput_sanity(lib):
+    """Native gather should not be slower than numpy fancy indexing."""
+    import time
+
+    rng = np.random.RandomState(4)
+    data = rng.randn(50_000, 3072).astype(np.float32)
+    idx = rng.randint(0, 50_000, 512).astype(np.int64)
+    out = np.empty((512, 3072), np.float32)
+
+    runtime.gather_rows(data, idx, out)  # warm
+    t0 = time.perf_counter()
+    for _ in range(20):
+        runtime.gather_rows(data, idx, out)
+    native = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(20):
+        _ = data[idx]
+    fancy = time.perf_counter() - t0
+    assert native < fancy * 3.0, (native, fancy)
+
+
+def test_host_resident_training_path(lib, tmp_path):
+    """Trainer runs with a HostResidentData source (native gather)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdm_tpu.diffusion.trainer import DDPMTrainer
+    from pdm_tpu.models.unet import UNet2D
+    from pdm_tpu.models.unet_ddpm import init_unet_ddpm
+    from pdm_tpu.schedulers.analytic import LinearBetaScheduler
+    from pdm_tpu.utils.data import HostResidentData
+
+    data = np.random.RandomState(0).randn(64, 1, 16, 16).astype(np.float32)
+    host = HostResidentData(data, batch_size=8)
+    net = UNet2D(
+        in_channels=1, out_channels=1, block_out_channels=(8, 16),
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        layers_per_block=1, attention_head_dim=8, norm_groups=4, dropout=0.0,
+    )
+    ddpm = init_unet_ddpm(
+        jax.random.PRNGKey(0), LinearBetaScheduler(1e-4, 1e2), net, (1, 16, 16)
+    )
+    trainer = DDPMTrainer(
+        ddpm=ddpm, learning_rate=1e-3, warmup_steps=0, total_iters=3,
+        grad_clip=1.0, ema_decay=0.9, horizontal_flip=True,
+    )
+    state = trainer.train(host, batch_size=8, total_iters=3)
+    assert int(state.step) == 3
