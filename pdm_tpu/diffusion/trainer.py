@@ -103,6 +103,7 @@ class DDPMTrainer:
     log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None
     checkpoint_every: Optional[int] = None  # defaults to eval_steps
     horizontal_flip: bool = False  # on-device per-batch augmentation
+    timer: Optional[object] = None  # utils.profiling.PhaseTimer
 
     def __post_init__(self):
         self.optimizer = make_optimizer(
@@ -266,16 +267,31 @@ class DDPMTrainer:
 
         host_rng = _np.random.RandomState(0)
 
+        import contextlib
+
+        def phase(name, tree=None):
+            if self.timer is None:
+                return contextlib.nullcontext()
+            return self.timer.phase(name, sync_tree=tree)
+
         for it in range(start + 1, total + 1):
             step_key = jax.random.fold_in(key, it)
-            if host_resident:
-                idx = host_rng.randint(0, n, batch_size)
-                x0 = augment(
-                    data.device_batch(idx), jax.random.fold_in(step_key, 1)
+            with phase("data"):
+                if host_resident:
+                    idx = host_rng.randint(0, n, batch_size)
+                    x0 = augment(
+                        data.device_batch(idx), jax.random.fold_in(step_key, 1)
+                    )
+                else:
+                    x0 = select_batch(jax.random.fold_in(step_key, 1))
+            with phase("train_step"):
+                state, metrics = self.train_step(
+                    state, jax.random.fold_in(step_key, 2), x0
                 )
-            else:
-                x0 = select_batch(jax.random.fold_in(step_key, 1))
-            state, metrics = self.train_step(state, jax.random.fold_in(step_key, 2), x0)
+                if self.timer is not None:
+                    from ..utils.timing import sync as _sync
+
+                    _sync(metrics)
 
             if self.log_fn is not None and it % log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
