@@ -31,11 +31,17 @@ def sqrtm_newton_schulz(a: Array, num_iters: int = 20, eps: float = 1e-10) -> Ar
     z = jnp.eye(dim, dtype=jnp.float32)
     eye3 = 3.0 * jnp.eye(dim, dtype=jnp.float32)
 
+    # Newton-Schulz is numerically delicate: with the TPU's default
+    # (bf16-pass) matmul precision the coupled iteration diverges to NaN.
+    # Force full-precision matmuls — three small (F x F) GEMMs per
+    # iteration are cheap at FID's 2048-dim covariances.
+    hp = jax.lax.Precision.HIGHEST
+
     def body(_, carry):
         y, z = carry
-        t = 0.5 * (eye3 - jnp.dot(z, y, preferred_element_type=jnp.float32))
-        y_new = jnp.dot(y, t, preferred_element_type=jnp.float32)
-        z_new = jnp.dot(t, z, preferred_element_type=jnp.float32)
+        t = 0.5 * (eye3 - jnp.dot(z, y, preferred_element_type=jnp.float32, precision=hp))
+        y_new = jnp.dot(y, t, preferred_element_type=jnp.float32, precision=hp)
+        z_new = jnp.dot(t, z, preferred_element_type=jnp.float32, precision=hp)
         return y_new, z_new
 
     y, z = jax.lax.fori_loop(0, num_iters, body, (y, z))
@@ -47,6 +53,7 @@ def trace_sqrtm_product(sigma1: Array, sigma2: Array, eps: float = 1e-7) -> Arra
     """tr(sqrtm(Sigma1 @ Sigma2)) with the reference's diagonal jitter."""
     dim = sigma1.shape[0]
     prod = jnp.dot(
-        sigma1, sigma2, preferred_element_type=jnp.float32
+        sigma1, sigma2, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) + eps * jnp.eye(dim, dtype=jnp.float32)
     return jnp.trace(sqrtm_newton_schulz(prod))

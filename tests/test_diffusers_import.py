@@ -1,0 +1,108 @@
+"""Diffusers-checkpoint converter: a synthesized torch-style state dict
+(built from diffusers' naming conventions) must convert to EXACTLY the
+flax param tree of our UNet2D — bidirectional structure parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdm_tpu.models.diffusers_import import convert_unet_state_dict
+from pdm_tpu.models.unet import unet_from_config
+
+
+def flax_tree_paths(tree):
+    return {
+        tuple(str(getattr(p, "key", p)) for p in path): leaf.shape
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def synthesize_torch_sd(flax_params):
+    """Invert the converter's mapping: build the torch-style state dict a
+    diffusers UNet2DModel with this architecture would have."""
+    sd = {}
+
+    def invert_module(path):
+        # our flat names -> diffusers module paths
+        name = path[0]
+        rest = list(path[1:])
+        if name in ("conv_in", "conv_out", "conv_norm_out", "time_embedding"):
+            parts = [name] + rest
+        elif name.startswith("down_") or name.startswith("up_"):
+            seg = name.split("_")  # e.g. down, 0, resnet, 1 / down, 0, downsample
+            block = "down_blocks" if seg[0] == "down" else "up_blocks"
+            idx = seg[1]
+            if seg[2] == "resnet":
+                parts = [block, idx, "resnets", seg[3]] + rest
+            elif seg[2] == "attn":
+                parts = [block, idx, "attentions", seg[3]] + rest
+            elif seg[2] in ("downsample", "upsample"):
+                kind = "downsamplers" if seg[2] == "downsample" else "upsamplers"
+                parts = [block, idx, kind, "0"] + rest
+            else:
+                raise KeyError(name)
+        elif name.startswith("mid_resnet_"):
+            parts = ["mid_block", "resnets", name[-1]] + rest
+        elif name == "mid_attn":
+            parts = ["mid_block", "attentions", "0"] + rest
+        else:
+            raise KeyError(name)
+        return parts
+
+    for path, shape in flax_tree_paths(flax_params).items():
+        *scope, leaf = path
+        parts = invert_module(tuple(scope))
+        if leaf == "kernel" and len(shape) == 4:
+            h, w, i, o = shape
+            sd[".".join(parts) + ".weight"] = np.zeros((o, i, h, w), np.float32)
+        elif leaf == "kernel":
+            i, o = shape
+            sd[".".join(parts) + ".weight"] = np.zeros((o, i), np.float32)
+        elif leaf == "scale":
+            sd[".".join(parts) + ".weight"] = np.zeros(shape, np.float32)
+        else:
+            key = ".".join(parts) + ".bias"
+            sd[key] = np.zeros(shape, np.float32)
+    # diffusers writes attention out-proj as to_out.0
+    sd = {
+        k.replace(".to_out.weight", ".to_out.0.weight").replace(
+            ".to_out.bias", ".to_out.0.bias"
+        ): v
+        for k, v in sd.items()
+    }
+    return sd
+
+
+def test_convert_roundtrip_structure():
+    net = unet_from_config(3, {
+        "block_out_channels": [32, 64],
+        "down_block_types": ["DownBlock2D", "AttnDownBlock2D"],
+        "up_block_types": ["AttnUpBlock2D", "UpBlock2D"],
+        "layers_per_block": 2, "attention_head_dim": 32, "dropout": 0.0,
+    })
+    # norm_groups must divide channels in the tiny config
+    import dataclasses
+
+    net = dataclasses.replace(net, norm_groups=8)
+    x = jnp.zeros((1, 16, 16, 3))
+    ref = jax.eval_shape(
+        lambda k: net.init(k, x, jnp.zeros((1,)))["params"], jax.random.PRNGKey(0)
+    )
+    sd = synthesize_torch_sd(ref)
+    converted = convert_unet_state_dict(sd)
+    got = flax_tree_paths(converted)
+    want = flax_tree_paths(ref)
+    assert got == want, (
+        sorted(set(want) - set(got))[:5], sorted(set(got) - set(want))[:5]
+    )
+
+
+def test_converted_values_transpose():
+    sd = {"conv_in.weight": np.arange(24, dtype=np.float32).reshape(2, 3, 2, 2),
+          "conv_in.bias": np.zeros(2, np.float32)}
+    params = convert_unet_state_dict(sd)
+    k = np.asarray(params["conv_in"]["kernel"])
+    assert k.shape == (2, 2, 3, 2)  # OIHW -> HWIO
+    np.testing.assert_array_equal(
+        k, np.transpose(sd["conv_in.weight"], (2, 3, 1, 0))
+    )
