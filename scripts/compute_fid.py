@@ -38,8 +38,12 @@ def main(config: Config) -> None:
         config.sample.noise_schedule_type = schedule
         config.sample.noise_schedule_path = path
         config.sample.n_samples = config.dataset_config.fid_samples
-        sampler = build_sampler(config, ddpm=ddpm, min_temp=min_temp)
-        samples = sampler.sample()["x"]
+        if config.fid.sample:
+            sampler = build_sampler(config, ddpm=ddpm, min_temp=min_temp)
+            samples = sampler.sample()["x"]
+        else:
+            # reuse previously saved samples (reference fid.sample=false)
+            samples = np.load(config.samples_path + ".npz")["x"]
         fid = compute_fid(jnp.asarray(samples))
         rows.append(dict(n_steps=n_steps, schedule=schedule,
                          min_temp=min_temp, fid=fid))

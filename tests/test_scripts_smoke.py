@@ -1,0 +1,75 @@
+"""CLI smoke tests: the scripts actually run end-to-end on CPU with tiny
+synthetic workloads (subprocess, so the @with_config/argparse surface is
+exercised for real)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(REPO, "scripts")
+
+
+def run_script(name, *args, cwd=None, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, name), *args],
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=cwd or REPO,
+    )
+
+
+def test_check_config():
+    r = run_script("check_config.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "config OK" in r.stdout
+
+
+def test_check_distance_and_analyze_fids(tmp_path):
+    # synthesize a metric npz + a fid csv, then run the analysis CLIs
+    np.savez(
+        tmp_path / "m.npz",
+        temp=np.logspace(-2, 2, 20),
+        metric=np.linspace(1, 2, 20),
+        log_temp=np.log(np.logspace(-2, 2, 20)),
+    )
+    r = run_script("check_distance.py", "--stats_path", str(tmp_path / "m.npz"),
+                   cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Max r=" in r.stdout
+
+    os.makedirs(tmp_path / "fid", exist_ok=True)
+    with open(tmp_path / "fid" / "exp.csv", "w") as f:
+        f.write("n_steps,schedule,min_temp,fid\n10,cosine,0.0001,5.0\n"
+                "50,cosine,0.0001,2.0\n10,entropy,0.0001,3.0\n")
+    r = run_script("analyze_fids.py", "--fid_dir", str(tmp_path / "fid"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "cosine" in r.stdout and "entropy" in r.stdout
+
+
+def test_analyze_stats(tmp_path):
+    np.savez(
+        tmp_path / "fwd.npz",
+        temp=np.logspace(-2, 2, 20),
+        entropy=np.tanh(np.linspace(-3, 3, 20)),
+        free_energy=-np.logspace(-2, 2, 20),
+        heat_capacity=np.exp(-np.linspace(-2, 2, 20) ** 2) + 0.01,
+    )
+    r = run_script(
+        "analyze_stats.py", "--stats_path", str(tmp_path / "fwd.npz"),
+        "--out", str(tmp_path / "out.png"), cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "out.png").exists()
+
+
+@pytest.mark.slow
+def test_sample_gmm_cpu(tmp_path):
+    r = run_script("sample_gmm.py", cwd=str(tmp_path), timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "MMD" in r.stdout
