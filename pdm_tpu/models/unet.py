@@ -74,13 +74,14 @@ class ResnetBlock(nn.Module):
     norm_groups: int
     norm_eps: float
     dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, temb: Array, *, deterministic: bool) -> Array:
         in_ch = x.shape[-1]
         h = nn.GroupNorm(
             num_groups=self.norm_groups, epsilon=self.norm_eps, name="norm1",
-            dtype=jnp.float32,
+            dtype=self.norm_dtype,
         )(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", dtype=self.dtype)(h)
@@ -92,7 +93,7 @@ class ResnetBlock(nn.Module):
 
         h = nn.GroupNorm(
             num_groups=self.norm_groups, epsilon=self.norm_eps, name="norm2",
-            dtype=jnp.float32,
+            dtype=self.norm_dtype,
         )(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
@@ -113,6 +114,7 @@ class AttentionBlock(nn.Module):
     norm_groups: int
     norm_eps: float
     dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -121,7 +123,7 @@ class AttentionBlock(nn.Module):
         hd = C // heads
         h = nn.GroupNorm(
             num_groups=self.norm_groups, epsilon=self.norm_eps,
-            name="group_norm", dtype=jnp.float32,
+            name="group_norm", dtype=self.norm_dtype,
         )(x)
         h = h.reshape(B, H * W, C).astype(self.dtype)
         q = nn.Dense(C, name="to_q", dtype=self.dtype)(h)
@@ -200,6 +202,10 @@ class UNet2D(nn.Module):
     add_mid_attention: bool = True
     downsample_padding: int = 0
     dtype: Any = jnp.float32
+    # Keep fp32 GroupNorm: measured on v5e, bf16 group-norm reductions hit
+    # a pathological XLA lowering (6.5 s/step vs 0.2 s/step on the flagship
+    # train step) — the casts around fp32 norms are the fast path.
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, tau: Array, *, deterministic: bool = True) -> Array:
@@ -214,13 +220,14 @@ class UNet2D(nn.Module):
             return ResnetBlock(
                 out_channels=out_ch, dropout=self.dropout,
                 norm_groups=self.norm_groups, norm_eps=self.norm_eps,
-                dtype=self.dtype, name=name,
+                dtype=self.dtype, norm_dtype=self.norm_dtype, name=name,
             )
 
         def attn(name):
             return AttentionBlock(
                 head_dim=self.attention_head_dim, norm_groups=self.norm_groups,
-                norm_eps=self.norm_eps, dtype=self.dtype, name=name,
+                norm_eps=self.norm_eps, dtype=self.dtype,
+                norm_dtype=self.norm_dtype, name=name,
             )
 
         h = nn.Conv(ch0, (3, 3), padding=1, name="conv_in", dtype=self.dtype)(
@@ -271,7 +278,7 @@ class UNet2D(nn.Module):
 
         h = nn.GroupNorm(
             num_groups=self.norm_groups, epsilon=self.norm_eps,
-            name="conv_norm_out", dtype=jnp.float32,
+            name="conv_norm_out", dtype=self.norm_dtype,
         )(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv_out",
