@@ -36,27 +36,40 @@ from jax import Array
 from ..ops.boltzmann import boltzmann_moments_xla
 
 
-@partial(jax.jit, static_argnames=("with_knn",))
+@partial(jax.jit, static_argnames=("with_knn", "axis_name"))
 def _sweep_batch(
     key: jax.Array,
     x0: Array,  # (B, D) trajectory starts
-    data: Array,  # (N, D)
+    data: Array,  # (N, D), or the local shard when axis_name is set
     temp: Array,  # (n_temps,)
     sigma_reg_sq: Optional[Array],  # (N,) per-point adaptive sigma^2 or None
     with_knn: bool = False,
+    axis_name: Optional[str] = None,
 ) -> Dict[str, Array]:
     """Per-batch sweep: sequential lax.map over temperatures (each iteration
-    is a full streaming pass over the dataset — MXU-bound)."""
+    is a full streaming pass over the dataset — MXU-bound). With
+    ``axis_name`` set (under shard_map), ``data`` is this chip's dataset
+    shard and the accumulators psum-merge across the mesh."""
     n_objects = data.shape[0]
+    if axis_name is not None:
+        n_objects = n_objects * jax.lax.axis_size(axis_name)
     values = sigma_reg_sq[:, None] if with_knn else None
 
     def per_temp(inp):
         i, t = inp
         eps = jax.random.normal(jax.random.fold_in(key, i), x0.shape)
         xt = x0 + jnp.sqrt(t) * eps
-        mom = boltzmann_moments_xla(
-            xt, data, inv_temp=1.0 / t, values=values
-        )
+        if axis_name is not None:
+            from ..ops.boltzmann import boltzmann_moments_shard_body
+
+            mom = boltzmann_moments_shard_body(
+                xt, data, inv_temp=1.0 / t, values=values,
+                axis_name=axis_name,
+            )
+        else:
+            mom = boltzmann_moments_xla(
+                xt, data, inv_temp=1.0 / t, values=values
+            )
         out = {
             "entropy": jnp.mean(mom.entropy(n_objects)),
             "free_energy": jnp.mean(-t * mom.log_z),
@@ -102,6 +115,7 @@ def thermo_sweep(
     knn_k: int = 5,
     sigma_reg_scale: float = 1.0,
     global_sigma_reg_sq: float = 1e-3,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Full MC sweep: entropy, free energy, heat capacity, metric.
 
@@ -129,14 +143,38 @@ def thermo_sweep(
     sigma_chunks = []
     seen = 0
     bi = 0
+    sweep_fn = _sweep_batch
+    if mesh is not None:
+        # dataset axis sharded over the mesh 'data' axis: each chip streams
+        # its shard and the online-softmax accumulators psum-merge exactly
+        from jax.sharding import PartitionSpec as P
+
+        sweep_fn = jax.jit(
+            jax.shard_map(
+                lambda k, x0, dd, tt, sg: _sweep_batch(
+                    k, x0, dd, tt, sg, with_knn, axis_name="data"
+                ),
+                mesh=mesh,
+                in_specs=(P(), P(), P("data"), P(), P("data") if with_knn else P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+
     while seen < n_samples:
         bs = min(batch_size, n_samples - seen)
         key, sub = jax.random.split(key)
         idx = jax.random.randint(sub, (bs,), 0, n)
         x0 = data2d[idx]
-        out = _sweep_batch(
-            jax.random.fold_in(key, bi), x0, data2d, temp_j, sigma_reg_sq, with_knn
-        )
+        if mesh is not None:
+            out = sweep_fn(
+                jax.random.fold_in(key, bi), x0, data2d, temp_j, sigma_reg_sq
+            )
+        else:
+            out = sweep_fn(
+                jax.random.fold_in(key, bi), x0, data2d, temp_j, sigma_reg_sq,
+                with_knn,
+            )
         entropy_acc.append(np.asarray(out["entropy"]) * bs)
         free_energy_acc.append(np.asarray(out["free_energy"]) * bs)
         var_chunks.append(np.asarray(out["var_g"]))

@@ -46,3 +46,25 @@ def test_mesh_and_param_sharding_rules():
 
     x = shard_batch(jnp.zeros((16, 3)), mesh)
     assert x.sharding.spec == P("data")
+
+
+def test_thermo_sweep_sharded_matches():
+    """thermo_sweep with the dataset axis sharded over the mesh equals the
+    single-device sweep (same keys -> same noise -> exact psum merge)."""
+    import numpy as np
+
+    from pdm_tpu.stats.sweep import thermo_sweep
+
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randn(16 * 8, 6).astype(np.float32))
+    temp = np.logspace(-1, 1, 5)
+    mesh = make_mesh(data=8, model=1)
+    ref = thermo_sweep(jax.random.PRNGKey(0), data, temp, n_samples=64,
+                       batch_size=64)
+    got = thermo_sweep(jax.random.PRNGKey(0), data, temp, n_samples=64,
+                       batch_size=64, mesh=mesh)
+    np.testing.assert_allclose(got["entropy"], ref["entropy"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got["metric"], ref["metric"], rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        got["free_energy"], ref["free_energy"], rtol=1e-4, atol=1e-4
+    )
