@@ -118,10 +118,17 @@ class DDPMTrainer:
     # state
     # ------------------------------------------------------------------
 
-    def init_state(self) -> TrainState:
+    def init_state(self, mesh=None) -> TrainState:
         # copy: train_step donates the state, so the state must not alias
         # the model's (reusable) parameter buffers
         params = jax.tree_util.tree_map(jnp.copy, self.ddpm.params)
+        if mesh is not None:
+            # place params (and hence ema/opt_state, which derive from
+            # them) with the tensor-parallel sharding BEFORE building the
+            # optimizer state, so the whole TrainState shares one layout
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,

@@ -52,10 +52,24 @@ def init_unet_ddpm(
     obj_size,
     parametrization: str = "eps",
 ) -> UNetDDPM:
-    """Initialize parameters with a dummy (B=1) forward."""
+    """Initialize parameters with a dummy (B=1) forward.
+
+    Initialization runs on CPU and transfers once: compiling the dozens of
+    per-layer initializer kernels on the TPU (through the remote-compile
+    tunnel) takes minutes, vs seconds on host.
+    """
     c, h, w = obj_size
     dummy = jnp.zeros((1, h, w, c), jnp.float32)
-    params = module.init(key, dummy, jnp.zeros((1,), jnp.float32))["params"]
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = jax.jit(
+            lambda k: module.init(k, dummy, jnp.zeros((1,), jnp.float32))[
+                "params"
+            ],
+            device=cpu,
+        )(jax.device_put(key, cpu))
+    default = jax.devices()[0]
+    params = jax.device_put(params, default)
     return UNetDDPM(
         scheduler=scheduler,
         params=params,

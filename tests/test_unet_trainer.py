@@ -156,19 +156,7 @@ def test_sharded_train_step_matches_unsharded():
     _, m_ref = trainer.train_step(state, key, jnp.asarray(data))
 
     with mesh:
-        state2 = trainer.init_state()
-        state2 = TrainStateShard(state2, mesh)
+        state2 = trainer.init_state(mesh=mesh)
         x_sh = shard_batch(jnp.asarray(data), mesh)
         _, m_sh = trainer.train_step(state2, key, x_sh)
     np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-4)
-
-
-def TrainStateShard(state, mesh):
-    from pdm_tpu.diffusion.trainer import TrainState
-
-    return TrainState(
-        step=state.step,
-        params=shard_params(state.params, mesh),
-        ema_params=shard_params(state.ema_params, mesh),
-        opt_state=jax.tree_util.tree_map(lambda x: x, state.opt_state),
-    )
