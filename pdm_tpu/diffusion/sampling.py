@@ -156,7 +156,13 @@ class DDPMSampler:
             out = self.batch_sample(jax.random.fold_in(key, i))
             for k, v in out.items():
                 chunks.setdefault(k, []).append(np.asarray(v))
-        res = {k: np.concatenate(v)[: self.n_samples] if k == "x" else np.concatenate(v, axis=1)[:, : self.n_samples] for k, v in chunks.items()}
+        res = {}
+        for k, v in chunks.items():
+            if k == "states":
+                # states are (n_steps, batch, ...): batches concat on axis 1
+                res[k] = np.concatenate(v, axis=1)[:, : self.n_samples]
+            else:
+                res[k] = np.concatenate(v)[: self.n_samples]
         return res
 
 

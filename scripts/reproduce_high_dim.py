@@ -147,9 +147,8 @@ def main() -> None:
     print("-" * 85)
     print(f"{'Schedule':<20} | {'MMD':<10} | {'KL':<10} | {'Avg MSE':<10} | Component Dist.")
     print("-" * 85)
-    import jax.numpy as jnp2
     for name, x in samples.items():
-        mmd = float(mmd_rbf(jnp2.asarray(x[:5000]), jnp2.asarray(ref[:5000]),
+        mmd = float(mmd_rbf(jnp.asarray(x[:5000]), jnp.asarray(ref[:5000]),
                             sigmas=(float(np.sqrt(dim)),)))
         kl = compute_kl_gmm(x.astype(np.float64), true_means.astype(np.float64),
                             true_covs.astype(np.float64))
