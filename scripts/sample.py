@@ -30,7 +30,7 @@ def build_sampler(config: Config, ddpm=None, min_temp=None):
         scheduler, InterpolatedScheduler
     ):
         log_temp = scheduler.log_temp
-    return DDPMSampler(
+    sampler = DDPMSampler(
         ddpm=ddpm,
         scheduler=scheduler,
         n_steps=config.sample.n_steps,
@@ -42,6 +42,18 @@ def build_sampler(config: Config, ddpm=None, min_temp=None):
         track_states=config.sample.track_states,
         log_temp=log_temp,
     )
+    # data-parallel sampling over all visible devices when >1
+    import jax
+
+    if len(jax.devices()) > 1:
+        from pdm_tpu.parallel.distributed import sharded_sampler
+        from pdm_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        model_ax = max(1, config.parallel.model_axis)
+        if n % model_ax == 0:
+            sampler = sharded_sampler(sampler, make_mesh(model=model_ax))
+    return sampler
 
 
 @with_config(parse_args=(__name__ == "__main__"))

@@ -16,6 +16,12 @@ SCRIPTS = os.path.join(REPO, "scripts")
 def run_script(name, *args, cwd=None, timeout=600):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # the axon sitecustomize registers the TPU plugin whenever this var is
+    # set, overriding JAX_PLATFORMS — drop it so smoke tests stay on CPU
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run(
         [sys.executable, os.path.join(SCRIPTS, name), *args],
@@ -73,3 +79,32 @@ def test_sample_gmm_cpu(tmp_path):
     r = run_script("sample_gmm.py", cwd=str(tmp_path), timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "MMD" in r.stdout
+
+
+def test_sample_cli_custom_schedule(tmp_path):
+    """sample.py with a custom knot schedule on the gmm1d analytic model —
+    exercises with_config, scheduler factory, custom log_temp grid, npz
+    output (and the >1-device sharded sampling path, since the CPU test
+    env exposes 8 virtual devices)."""
+    sched = np.linspace(np.log(1e-4), np.log(10.0), 8)
+    np.savez(tmp_path / "sched.npz", log_temp=sched)
+    r = run_script(
+        "sample.py",
+        "--dataset_name", "gmm1d",
+        "--ddpm.model_name", "true",
+        "--ddpm.parametrization", "x0",
+        "--ddpm.noise_schedule_type", "log_snr",
+        "--diffusion.min_temp", "1e-4", "--diffusion.max_temp", "1e1",
+        "--sample.noise_schedule_type", "custom",
+        "--sample.noise_schedule_path", str(tmp_path / "sched.npz"),
+        "--sample.n_steps", "8",
+        "--sample.n_samples", "64", "--sample.batch_size", "64",
+        "--sample.step_type", "ddim",
+        cwd=str(tmp_path), timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = np.load(tmp_path / "samples" / "gmm1d_true_8_ddim_steps.npz")
+    x = out["x"].reshape(-1)
+    assert x.shape == (64,)
+    modes = np.array([-1.1, -0.9, 0.9, 1.1])
+    assert np.quantile(np.abs(x[:, None] - modes[None]).min(1), 0.9) < 0.15

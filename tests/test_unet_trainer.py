@@ -75,12 +75,22 @@ def test_lr_schedule_parity():
     np.testing.assert_allclose(float(sched(110)), 0.0, atol=1e-6)
 
 
+_DDPM_CACHE = {}
+
+
+def cached_tiny_ddpm():
+    """One tiny-UNet init per test session (init compiles are the slow
+    part of this module)."""
+    if "ddpm" not in _DDPM_CACHE:
+        _DDPM_CACHE["ddpm"] = init_unet_ddpm(
+            jax.random.PRNGKey(0), LinearBetaScheduler(1e-4, 1e2),
+            tiny_unet(), (1, 16, 16), parametrization="eps",
+        )
+    return _DDPM_CACHE["ddpm"]
+
+
 def make_trainer(tmp_path=None, **kw):
-    sched = LinearBetaScheduler(1e-4, 1e2)
-    net = tiny_unet()
-    ddpm = init_unet_ddpm(
-        jax.random.PRNGKey(0), sched, net, (1, 16, 16), parametrization="eps"
-    )
+    ddpm = cached_tiny_ddpm()
     defaults = dict(
         learning_rate=2e-3, warmup_steps=5, total_iters=60, grad_clip=1.0,
         ema_decay=0.99, eval_steps=10_000,
