@@ -67,7 +67,16 @@ def load_hf_images(
     locally-cached HF dataset."""
     from datasets import load_dataset  # type: ignore
 
-    ds = load_dataset(hf_name, split=split)
+    try:
+        ds = load_dataset(hf_name, split=split)
+    except Exception as e:
+        raise RuntimeError(
+            f"dataset {hf_name!r} is not in the local HF cache and this "
+            f"environment has no network access. Pre-populate the cache, "
+            f"point HF_DATASETS_CACHE at one, or use a synthetic dataset "
+            f"(gmm1d / gaussian / anisotropic_gmm_repro). Original error: "
+            f"{type(e).__name__}: {e}"
+        ) from e
     n = len(ds) if limit is None else min(limit, len(ds))
     labels = None
     if "label" in ds.column_names:
