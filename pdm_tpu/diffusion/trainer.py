@@ -194,18 +194,48 @@ class DDPMTrainer:
     # checkpointing (Orbax; resume contract = reference's latest.pth)
     # ------------------------------------------------------------------
 
-    def save_checkpoint(self, state: TrainState, step: int) -> None:
-        if self.checkpoint_dir is None:
-            return
+    def _checkpointer(self):
         import orbax.checkpoint as ocp
 
-        path = os.path.abspath(os.path.join(self.checkpoint_dir, f"step_{step}"))
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.device_get(dataclasses.asdict(state)), force=True)
-        ckptr.wait_until_finished()
+        if not hasattr(self, "_ckptr"):
+            self._ckptr = ocp.StandardCheckpointer()
+        return self._ckptr
+
+    def _publish_pending(self) -> None:
+        """After a save is known complete, point latest.txt at it. Never
+        publishes an in-flight save, so a crash mid-write can't leave the
+        resume pointer at an unreadable checkpoint."""
+        step = getattr(self, "_pending_step", None)
+        if step is None:
+            return
         latest = os.path.join(self.checkpoint_dir, "latest.txt")
         with open(latest, "w") as f:
             f.write(str(step))
+        self._pending_step = None
+
+    def save_checkpoint(
+        self, state: TrainState, step: int, block: bool = True
+    ) -> None:
+        """Checkpoint via Orbax. With ``block=False`` (the training loop's
+        mode) the write streams asynchronously while training continues;
+        the previous save is awaited (and published) before a new one
+        starts, so at most one is in flight."""
+        if self.checkpoint_dir is None:
+            return
+        ckptr = self._checkpointer()
+        ckptr.wait_until_finished()
+        self._publish_pending()
+        path = os.path.abspath(os.path.join(self.checkpoint_dir, f"step_{step}"))
+        ckptr.save(path, jax.device_get(dataclasses.asdict(state)), force=True)
+        self._pending_step = step
+        if block:
+            ckptr.wait_until_finished()
+            self._publish_pending()
+
+    def finalize_checkpoints(self) -> None:
+        if hasattr(self, "_ckptr"):
+            self._ckptr.wait_until_finished()
+            self._publish_pending()
 
     def latest_checkpoint_step(self) -> Optional[int]:
         if self.checkpoint_dir is None:
@@ -306,11 +336,12 @@ class DDPMTrainer:
                 self.log_fn(it, host)
 
             if it % ckpt_every == 0:
-                self.save_checkpoint(state, it)
+                self.save_checkpoint(state, it, block=False)
             if self.eval_fn is not None and it % self.eval_steps == 0:
                 ema_ddpm = self.ddpm.with_params(state.ema_params)
                 eval_metrics = self.eval_fn(ema_ddpm, it)
                 if self.log_fn is not None and eval_metrics:
                     self.log_fn(it, eval_metrics)
 
+        self.finalize_checkpoints()
         return state

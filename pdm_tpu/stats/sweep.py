@@ -213,7 +213,14 @@ def forward_stats(
     Parity: utils/stats.py compute_stats + scripts/compute_stats_forward.py.
     """
     out = thermo_sweep(key, data, temp, n_samples, batch_size)
-    return {"temp": out["temp"], "entropy": out["entropy"]}
+    # superset of the reference contract: consumers key on temp/entropy,
+    # the extra thermodynamic curves come free from the fused sweep
+    return {
+        "temp": out["temp"],
+        "entropy": out["entropy"],
+        "free_energy": out["free_energy"],
+        "heat_capacity": out["heat_capacity"],
+    }
 
 
 def metric_stats(
