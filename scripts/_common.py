@@ -11,7 +11,10 @@ if REPO_ROOT not in sys.path:
 def setup_jax(cache: bool = True) -> None:
     import jax
 
-    if cache:
+    # The persistent cache only helps the TPU path; on CPU the entries were
+    # AOT-compiled by the remote-compile service for a different host CPU
+    # and just produce loader warnings, so skip it there.
+    if cache and "axon" in os.environ.get("JAX_PLATFORMS", "axon"):
         jax.config.update(
             "jax_compilation_cache_dir", os.path.join(REPO_ROOT, ".jax_cache")
         )
