@@ -144,10 +144,20 @@ def thermo_sweep(
     seen = 0
     bi = 0
     sweep_fn = _sweep_batch
+    data_sharded = data2d
     if mesh is not None:
         # dataset axis sharded over the mesh 'data' axis: each chip streams
-        # its shard and the online-softmax accumulators psum-merge exactly
+        # its shard and the online-softmax accumulators psum-merge exactly.
+        # shard_map needs equal shards; drop the (< axis_size) remainder —
+        # negligible for an MC estimator over >= thousands of points.
         from jax.sharding import PartitionSpec as P
+
+        ax = mesh.shape["data"]
+        n_keep = (n // ax) * ax
+        if n_keep != n:
+            data_sharded = data2d[:n_keep]
+            if sigma_reg_sq is not None:
+                sigma_reg_sq = sigma_reg_sq[:n_keep]
 
         sweep_fn = jax.jit(
             jax.shard_map(
