@@ -178,7 +178,8 @@ def thermo_sweep(
         x0 = data2d[idx]
         if mesh is not None:
             out = sweep_fn(
-                jax.random.fold_in(key, bi), x0, data2d, temp_j, sigma_reg_sq
+                jax.random.fold_in(key, bi), x0, data_sharded, temp_j,
+                sigma_reg_sq,
             )
         else:
             out = sweep_fn(

@@ -68,3 +68,20 @@ def test_thermo_sweep_sharded_matches():
     np.testing.assert_allclose(
         got["free_energy"], ref["free_energy"], rtol=1e-4, atol=1e-4
     )
+
+
+def test_thermo_sweep_sharded_uneven_dataset():
+    """N not divisible by the mesh data axis: the sharded sweep truncates
+    the (< axis_size) remainder instead of erroring."""
+    import numpy as np
+
+    from pdm_tpu.stats.sweep import thermo_sweep
+
+    rng = np.random.RandomState(1)
+    data = jnp.asarray(rng.randn(16 * 8 + 5, 6).astype(np.float32))
+    temp = np.logspace(-1, 1, 4)
+    mesh = make_mesh(data=8, model=1)
+    out = thermo_sweep(jax.random.PRNGKey(0), data, temp, n_samples=32,
+                       batch_size=32, mesh=mesh)
+    assert np.all(np.isfinite(out["entropy"]))
+    assert np.all(np.isfinite(out["metric"]))
