@@ -96,6 +96,11 @@ class FIDConfig(BaseModel):
     min_temp: List[float] = Field(..., description="Min temperatures for the sweep")
     train: bool = Field(..., description="Reference = train split")
     sample: bool = Field(..., description="Sample fresh or reuse saved samples")
+    required: bool = Field(
+        False,
+        description="Hard-fail when the FID feature extractor is "
+        "unavailable (default: warn loudly at every eval and continue)",
+    )
 
 
 class ParallelConfig(BaseModel):

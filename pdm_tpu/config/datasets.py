@@ -36,27 +36,35 @@ class BaseDatasetConfig(BaseModel):
         return (self.min_temp, self.max_temp)
 
 
-class DatasetRegistry:
-    _configs: Dict[str, BaseDatasetConfig] = {}
+_REGISTRY: Dict[str, BaseDatasetConfig] = {}
 
-    @classmethod
-    def register(cls, config_class: type) -> type:
-        config = config_class()
-        cls._configs[config.name] = config
+
+class DatasetRegistry:
+    """Module-level name -> frozen-config table with decorator registration.
+
+    Kept as a class namespace so call sites read
+    ``DatasetRegistry.get("cifar10")`` like the rest of the config layer.
+    """
+
+    @staticmethod
+    def register(config_class: type) -> type:
+        instance = config_class()
+        _REGISTRY[instance.name] = instance
         return config_class
 
-    @classmethod
-    def get(cls, name: str) -> BaseDatasetConfig:
-        if name not in cls._configs:
+    @staticmethod
+    def get(name: str) -> BaseDatasetConfig:
+        try:
+            return _REGISTRY[name]
+        except KeyError:
+            known = ", ".join(sorted(_REGISTRY))
             raise KeyError(
-                f"Dataset config '{name}' not found. "
-                f"Available: {list(cls._configs)}"
-            )
-        return cls._configs[name]
+                f"unknown dataset {name!r}; registered datasets: {known}"
+            ) from None
 
-    @classmethod
-    def get_dataset_names(cls) -> List[str]:
-        return list(cls._configs)
+    @staticmethod
+    def get_dataset_names() -> List[str]:
+        return list(_REGISTRY)
 
 
 @DatasetRegistry.register

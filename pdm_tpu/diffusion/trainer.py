@@ -80,9 +80,12 @@ def make_optimizer(
         else learning_rate
     )
     tx = [optax.clip_by_global_norm(grad_clip)] if grad_clip > 0 else []
-    tx.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
     if weight_decay:
+        # BEFORE the Adam moments: coupled L2, matching the reference's
+        # torch.optim.Adam(weight_decay=...) semantics (ddpm_trainer.py)
+        # rather than decoupled AdamW
         tx.append(optax.add_decayed_weights(weight_decay))
+    tx.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
     tx.append(optax.scale_by_learning_rate(sched))
     return optax.chain(*tx)
 
@@ -265,14 +268,32 @@ class DDPMTrainer:
         total_iters: Optional[int] = None,
         key: Optional[jax.Array] = None,
         log_every: int = 100,
+        mesh=None,
     ) -> TrainState:
         """Device-resident-data training loop with auto-resume.
 
         ``data``: (N, C, H, W) array already placed on device(s).
+        ``mesh``: optional ('data','model') Mesh — the batch shards over
+        'data' (DP) and parameters over 'model' (TP); the step math is
+        unchanged, XLA inserts the gradient psum.
         """
         total = total_iters or self.total_iters
         key = jax.random.PRNGKey(0) if key is None else key
-        state = self.init_state()
+
+        batch_out_sharding = None
+        if mesh is not None:
+            from ..parallel.mesh import (
+                batch_sharding, check_batch_divisible, replicated,
+            )
+
+            check_batch_divisible(batch_size, mesh)
+            batch_out_sharding = batch_sharding(mesh)
+            if hasattr(data, "devices"):
+                # replicate the (small vs HBM) dataset across the mesh so
+                # the per-step gather is chip-local; the selected batch is
+                # then laid out over 'data'
+                data = jax.device_put(data, replicated(mesh))
+        state = self.init_state(mesh=mesh)
 
         start = 0
         resume = self.latest_checkpoint_step()
@@ -284,7 +305,13 @@ class DDPMTrainer:
         ckpt_every = self.checkpoint_every or self.eval_steps
         host_resident = not hasattr(data, "devices")  # HostResidentData
 
-        @partial(jax.jit, donate_argnums=())
+        _jit_kw = (
+            {"out_shardings": batch_out_sharding}
+            if batch_out_sharding is not None
+            else {}
+        )
+
+        @partial(jax.jit, donate_argnums=(), **_jit_kw)
         def augment(x, step_key):
             if self.horizontal_flip:
                 # the reference flips in its host-side transform pipeline
@@ -295,7 +322,7 @@ class DDPMTrainer:
                 x = jnp.where(flip[:, None, None, None], x[..., ::-1], x)
             return x
 
-        @partial(jax.jit, donate_argnums=())
+        @partial(jax.jit, donate_argnums=(), **_jit_kw)
         def select_batch(step_key):
             idx = jax.random.randint(step_key, (batch_size,), 0, n)
             return augment(jnp.take(data, idx, axis=0), step_key)

@@ -33,7 +33,15 @@ def initialize_multihost(
 
 def sharded_sampler(sampler, mesh: Mesh):
     """A copy of the sampler whose reverse-process batch axis is sharded
-    over the mesh 'data' axis (every step stays chip-local)."""
+    over the mesh 'data' axis (every step stays chip-local).
+
+    The sampler always launches full ``batch_size`` batches (host-side
+    truncation to n_samples), so batch_size is the only divisibility
+    precondition — checked loudly here instead of failing deep inside
+    with_sharding_constraint."""
+    from .mesh import check_batch_divisible
+
+    check_batch_divisible(sampler.batch_size, mesh, what="sample.batch_size")
     return dataclasses.replace(
         sampler, batch_sharding=NamedSharding(mesh, P("data"))
     )

@@ -38,6 +38,48 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def mesh_from_config(parallel, devices: Optional[Sequence] = None):
+    """Mesh from a ``ParallelConfig`` (config.py), or None when the run is
+    single-device with no parallelism requested.
+
+    This is the one entry point the pipeline CLIs use, so a config with
+    ``--parallel.data_axis 8`` behaves identically across train / sample /
+    stats scripts.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = max(1, int(parallel.model_axis))
+    data = parallel.data_axis
+    if data is None:
+        if n == 1 and model == 1:
+            return None
+        if n % model != 0:
+            raise ValueError(
+                f"parallel.model_axis={model} does not divide the "
+                f"{n} visible devices; set parallel.data_axis explicitly"
+            )
+        data = n // model
+    data = int(data)
+    if data < 1 or model < 1 or data * model > n:
+        raise ValueError(
+            f"mesh data={data} x model={model} needs {data * model} devices "
+            f"but only {n} are visible"
+        )
+    return make_mesh(data=data, model=model, devices=devices[: data * model])
+
+
+def check_batch_divisible(batch_size: int, mesh: Mesh, what: str = "batch_size"):
+    """Loud precondition for DP sharding (a bad size otherwise fails deep
+    inside with_sharding_constraint with an opaque XLA error)."""
+    ax = mesh.shape["data"]
+    if batch_size % ax != 0:
+        raise ValueError(
+            f"{what}={batch_size} is not divisible by the mesh 'data' axis "
+            f"({ax}); choose {what} a multiple of {ax} or shrink "
+            f"parallel.data_axis"
+        )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data', replicate the rest."""
     return NamedSharding(mesh, P("data"))

@@ -57,7 +57,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
             if not _build():
                 _build_failed = True
                 return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.pdm_version  # probe the ABI before trusting the binary
+        except (OSError, AttributeError):
+            # stale or wrong-arch binary (e.g. left over from another
+            # machine): rebuild once, then fall back to numpy
+            if not _build():
+                _build_failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                _build_failed = True
+                return None
         lib.pdm_normalize_u8_hwc_to_f32_chw.argtypes = [
             _u8p, _f32p, _i64, _i64, _i64, _i64
         ]

@@ -123,11 +123,14 @@ def _monotone_knots(
     return timestamps[keep], log_temp[keep]
 
 
-def metric_scheduler(log_temp: np.ndarray, metric: np.ndarray) -> InterpolatedScheduler:
-    """Geodesic schedule: tau proportional to Fisher-Rao arc length.
+def fisher_rao_arc_length(
+    log_temp: np.ndarray, metric: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cumulative Fisher-Rao distance along the temperature axis.
 
-    r(lambda) = int_{lambda_min}^{lambda} sqrt(G) dlambda  (trapezoid rule),
-    normalized to [0, 1]. Parity: reference scheduler/metric.py:11-35.
+    r(lambda) = int_{lambda_min}^{lambda} sqrt(G) dlambda (trapezoid rule).
+    Returns (sorted log_temp, r). Shared by the geodesic schedule and the
+    check_distance diagnostic CLI.
     """
     log_temp = np.asarray(log_temp, dtype=np.float64)
     metric = np.asarray(metric, dtype=np.float64)
@@ -135,7 +138,14 @@ def metric_scheduler(log_temp: np.ndarray, metric: np.ndarray) -> InterpolatedSc
     log_temp, metric = log_temp[order], metric[order]
     sqrt_g = np.sqrt(np.clip(metric, 0.0, None))
     dr = 0.5 * (sqrt_g[1:] + sqrt_g[:-1]) * np.diff(log_temp)
-    r = np.concatenate([[0.0], np.cumsum(dr)])
+    return log_temp, np.concatenate([[0.0], np.cumsum(dr)])
+
+
+def metric_scheduler(log_temp: np.ndarray, metric: np.ndarray) -> InterpolatedScheduler:
+    """Geodesic schedule: tau proportional to Fisher-Rao arc length,
+    normalized to [0, 1]. Parity: reference scheduler/metric.py:11-35.
+    """
+    log_temp, r = fisher_rao_arc_length(log_temp, metric)
     timestamps = r / r[-1]
     return InterpolatedScheduler(
         timestamps=jnp.asarray(timestamps, dtype=jnp.float32),

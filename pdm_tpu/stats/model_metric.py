@@ -1,15 +1,24 @@
 """Model-based metric and entropy-derivative estimators.
 
 Both estimate thermodynamic quantities through a trained (or analytic)
-denoiser's reconstruction error, in the linear/VE convention
-``xt = x0 + sqrt(T) eps``:
+denoiser's reconstruction error:
 
     G(lambda) ~ 0.5 * E ||x0 - x0_hat||^2 / T      (Fisher-Rao metric;
                 reference utils/stats.py:186-254)
     dS/dlogT  = the same quantity                   (I-MMSE relation;
                 reference scripts/compute_stats_empirical.py:12-33)
 
-integrated with the trapezoid rule to an entropy curve.
+The two reference call sites noise differently, and we mirror each exactly:
+
+* ``noising="ve"``: xt = x0 + sqrt(T) eps  (linear/VE convention,
+  reference utils/stats.py compute_model_metric_stats_batch);
+* ``noising="vp"``: xt = sqrt(ab) x0 + sqrt(1-ab) eps via
+  ``scheduler.add_noise`` at tau(log T) (reference
+  scripts/compute_stats_empirical.py compute_entropy_derivative) — at high
+  T the VE input is sqrt(1+T) times larger than anything a VP-trained model
+  saw, so the empirical entropy artifact must use VP.
+
+dS/dlogT integrates with the trapezoid rule to an entropy curve.
 """
 
 from __future__ import annotations
@@ -25,17 +34,22 @@ from jax import Array
 from ..models.base import DDPM
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("noising",))
 def _model_metric_batch(
-    ddpm: DDPM, key: jax.Array, x0: Array, temp: Array
+    ddpm: DDPM, key: jax.Array, x0: Array, temp: Array, noising: str = "ve"
 ) -> Array:
     """(n_temps,) batch-mean of 0.5 ||x0 - x0_hat||^2 / T."""
 
     def per_temp(inp):
         i, t = inp
-        eps = jax.random.normal(jax.random.fold_in(key, i), x0.shape)
-        xt = x0 + jnp.sqrt(t) * eps
         log_t = jnp.broadcast_to(jnp.log(t), (x0.shape[0],))
+        k = jax.random.fold_in(key, i)
+        if noising == "vp":
+            tau = ddpm.scheduler.tau_from_log_temp(log_t)
+            _, _, xt = ddpm.scheduler.add_noise(k, x0, tau)
+        else:
+            eps = jax.random.normal(k, x0.shape)
+            xt = x0 + jnp.sqrt(t) * eps
         preds = ddpm.get_predictions(xt, log_t)
         err = jnp.sum(
             jnp.square(preds.x0 - x0).reshape(x0.shape[0], -1), axis=-1
@@ -52,6 +66,7 @@ def model_metric_stats(
     temp: np.ndarray,
     n_samples: int = 1024,
     batch_size: int = 256,
+    noising: str = "ve",
 ) -> Dict[str, np.ndarray]:
     """Reference artifact contract: {temp, metric, log_temp,
     dataset_tr_sigma0}. Parity: utils/stats.py compute_model_metric_stats."""
@@ -66,7 +81,9 @@ def model_metric_stats(
         key, sub = jax.random.split(key)
         idx = jax.random.randint(sub, (bs,), 0, n)
         x0 = jnp.reshape(data2d[idx], (bs, *data.shape[1:]))
-        vals = _model_metric_batch(ddpm, jax.random.fold_in(key, bi), x0, temp_j)
+        vals = _model_metric_batch(
+            ddpm, jax.random.fold_in(key, bi), x0, temp_j, noising
+        )
         acc += np.asarray(vals, np.float64) * bs
         seen += bs
         bi += 1
@@ -88,21 +105,33 @@ def empirical_entropy_stats(
     n_samples: int = 1024,
     batch_size: int = 256,
 ) -> Dict[str, np.ndarray]:
-    """dS/dlogT via model reconstruction error, trapezoid-integrated to an
-    entropy curve (anchored at 0 at the lowest temperature) plus the
-    rescaled entropy used for schedule construction.
+    """The reference empirical-stats artifact: dS/dlogT via VP-noised model
+    reconstruction error, trapezoid-integrated to entropy and rescaled
+    entropy, both anchored to 0 at the MAX temperature.
 
-    Parity: scripts/compute_stats_empirical.py:12-65.
+    Parity: scripts/compute_stats_empirical.py:36-75 (noising via
+    scheduler.add_noise, entropy -= entropy[-1], rescaled integrand
+    dS/dlogT * sqrt(T)).
     """
-    out = model_metric_stats(key, ddpm, data, temp, n_samples, batch_size)
-    ds_dlogt = out["metric"]  # same estimator
-    log_t = out["log_temp"]
-    entropy = np.concatenate(
-        [[0.0], np.cumsum(0.5 * (ds_dlogt[1:] + ds_dlogt[:-1]) * np.diff(log_t))]
+    out = model_metric_stats(
+        key, ddpm, data, temp, n_samples, batch_size, noising="vp"
     )
+    ds = out["metric"]  # = dS/dlogT
+    log_t = out["log_temp"]
+    d_log_t = np.diff(log_t)
+    entropy = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (ds[1:] + ds[:-1]) * d_log_t)]
+    )
+    entropy -= entropy[-1]
+    sigma = np.sqrt(out["temp"])
+    rescaled = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (ds[1:] * sigma[1:] + ds[:-1] * sigma[:-1]) * d_log_t)]
+    )
+    rescaled -= rescaled[-1]
     return {
         "temp": out["temp"],
-        "d_entropy_d_log_temp": ds_dlogt,
         "entropy": entropy,
+        "rescaled_entropy": rescaled,
+        "d_entropy_d_log_temp": ds,
         "log_temp": log_t,
     }

@@ -217,13 +217,14 @@ def thermo_sweep(
 
 def forward_stats(
     key: jax.Array, data: Array, temp: np.ndarray, n_samples: int = 1024,
-    batch_size: int = 1024,
+    batch_size: int = 1024, *, mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Reference forward-stats artifact contract: {temp, entropy}.
 
     Parity: utils/stats.py compute_stats + scripts/compute_stats_forward.py.
+    ``mesh``: shard the dataset axis over the mesh 'data' axis.
     """
-    out = thermo_sweep(key, data, temp, n_samples, batch_size)
+    out = thermo_sweep(key, data, temp, n_samples, batch_size, mesh=mesh)
     # superset of the reference contract: consumers key on temp/entropy,
     # the extra thermodynamic curves come free from the fused sweep
     return {
@@ -245,6 +246,7 @@ def metric_stats(
     adaptive_knn: bool = False,
     knn_k: int = 5,
     sigma_reg_scale: float = 1.0,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Reference metric-stats artifact contract:
     {temp, metric, log_temp, dataset_tr_sigma0}.
@@ -254,7 +256,7 @@ def metric_stats(
     out = thermo_sweep(
         key, data, temp, n_samples, batch_size,
         regularize=regularize, adaptive_knn=adaptive_knn, knn_k=knn_k,
-        sigma_reg_scale=sigma_reg_scale,
+        sigma_reg_scale=sigma_reg_scale, mesh=mesh,
     )
     return {
         "temp": out["temp"],

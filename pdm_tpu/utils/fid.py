@@ -33,9 +33,13 @@ from ..ops.sqrtm import trace_sqrtm_product
 
 
 @jax.jit
-def _moment_update(carry, feats: Array):
+def _shifted_moment_update(carry, feats: Array, shift: Array):
+    """Accumulate first/second moments of (feats - shift) in fp32. With
+    shift ~ mu the ss - n*outer(mu,mu) cancellation disappears, so a
+    single fp32 pass matches the reference's two-pass torch.cov to within
+    rounding (Inception features have large nonzero means)."""
     n, s, ss = carry
-    feats = feats.astype(jnp.float32)
+    feats = feats.astype(jnp.float32) - shift
     n = n + feats.shape[0]
     s = s + jnp.sum(feats, axis=0)
     ss = ss + jnp.dot(feats.T, feats, preferred_element_type=jnp.float32)
@@ -50,7 +54,9 @@ def feature_statistics(
 ) -> Tuple[Array, Array]:
     """(mu, Sigma) of features over a dataset, streaming in batches.
 
-    Unbiased covariance (matches torch.cov / the reference).
+    Unbiased covariance (matches torch.cov / the reference). The first
+    batch's mean is used as a numerical shift for the outer-product
+    accumulator (shifted one-pass covariance).
     """
     n_total = data.shape[0]
     carry = (
@@ -58,13 +64,16 @@ def feature_statistics(
         jnp.zeros((feature_dim,), jnp.float32),
         jnp.zeros((feature_dim, feature_dim), jnp.float32),
     )
+    shift = None
     for i in range(0, n_total, batch_size):
         feats = feature_fn(data[i : i + batch_size])
-        carry = _moment_update(carry, feats)
+        if shift is None:
+            shift = jnp.mean(feats.astype(jnp.float32), axis=0)
+        carry = _shifted_moment_update(carry, feats, shift)
     n, s, ss = carry
-    mu = s / n
-    sigma = (ss - n * jnp.outer(mu, mu)) / (n - 1.0)
-    return mu, sigma
+    mu_c = s / n  # mean of the shifted features
+    sigma = (ss - n * jnp.outer(mu_c, mu_c)) / (n - 1.0)
+    return mu_c + shift, sigma
 
 
 @jax.jit

@@ -85,13 +85,19 @@ def make_eval_fn(config, reference_data, sample_dir: str = "eval_samples"):
     from ..schedulers.from_config import scheduler_from_config
 
     compute_fid = None
+    fid_error = None
     try:
         from .fid import get_compute_fid, get_feature_fn
 
         feature_fn, fdim = get_feature_fn(config.dataset_name)
         compute_fid = get_compute_fid(reference_data, feature_fn, fdim)
-    except Exception as e:  # pragma: no cover - offline weights missing
-        print(f"[eval] FID disabled: {e}")
+    except Exception as e:  # offline weights missing
+        if getattr(config.fid, "required", False):
+            raise RuntimeError(
+                f"fid.required=true but the FID feature extractor is "
+                f"unavailable: {e}"
+            ) from e
+        fid_error = e
 
     os.makedirs(sample_dir, exist_ok=True)
     scheduler = scheduler_from_config(config)
@@ -109,6 +115,17 @@ def make_eval_fn(config, reference_data, sample_dir: str = "eval_samples"):
         grid = sampler.sample(jax.random.PRNGKey(step))["x"]
         save_image_grid(grid, os.path.join(sample_dir, f"step_{step}.png"))
         metrics: Dict[str, float] = {}
+        if compute_fid is None:
+            # per-eval, not once-at-construction: a long run must not
+            # silently finish with no quality metric (set fid.required
+            # to make this a hard error instead)
+            import warnings
+
+            warnings.warn(
+                f"[eval step {step}] FID unavailable — no quality metric "
+                f"is being recorded ({fid_error})",
+                stacklevel=2,
+            )
         if compute_fid is not None:
             sampler = DDPMSampler(
                 ddpm=ema_ddpm,

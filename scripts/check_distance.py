@@ -1,33 +1,59 @@
-"""Metric-artifact diagnostic: cumulative Fisher-Rao distance r(lambda)
-from a saved stats npz. Parity: reference scripts/check_distance.py."""
+"""Diagnose how the Fisher-Rao arc length distributes over temperature.
+
+Loads a metric-stats artifact (stats/{ds}_metric.npz) and reports what
+fraction of the total geodesic distance is accumulated below a probe
+temperature — the sanity check behind the geodesic schedule: if most of the
+arc length sits below T~1e-2 the sampler must spend most of its steps there.
+
+Capability parity with reference scripts/check_distance.py (rebuilt on the
+shared ``fisher_rao_arc_length`` helper the geodesic scheduler uses).
+"""
 import argparse
 
 import numpy as np
 
-parser = argparse.ArgumentParser()
-parser.add_argument("--stats_path", type=str, default="stats/cifar10_metric.npz")
-args = parser.parse_args()
 
-stats = np.load(args.stats_path)
-temp, metric, log_temp = stats["temp"], stats["metric"], stats["log_temp"]
-idx = np.argsort(log_temp)
-temp, metric, log_temp = temp[idx], metric[idx], log_temp[idx]
-sqrt_g = np.sqrt(np.maximum(metric, 0))
-dr = 0.5 * (sqrt_g[1:] + sqrt_g[:-1]) * np.diff(log_temp)
-r = np.concatenate([[0], np.cumsum(dr)])
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--stats_path", default="stats/cifar10_metric.npz",
+        help="metric-stats npz (keys: temp, metric, log_temp)",
+    )
+    parser.add_argument(
+        "--probe_temp", type=float, default=1e-2,
+        help="temperature at which to report the distance fraction",
+    )
+    parser.add_argument("--out", default="debug_distance.png")
+    args = parser.parse_args()
 
-import matplotlib
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt
+    from pdm_tpu.schedulers.interpolated import fisher_rao_arc_length
 
-plt.figure(figsize=(10, 6))
-plt.semilogx(temp, r, "r-")
-plt.axvline(1e-2, color="k", linestyle="--", label="T=1e-2")
-plt.xlabel("Temperature T"); plt.ylabel("Distance r(0, sigma)")
-plt.grid(which="both", alpha=0.3); plt.legend()
-plt.savefig("debug_distance.png")
+    stats = np.load(args.stats_path)
+    log_temp, r = fisher_rao_arc_length(stats["log_temp"], stats["metric"])
+    temp = np.exp(log_temp)
 
-i = np.abs(temp - 1e-2).argmin()
-print(f"At T={temp[i]:.2e}, r={r[i]:.4f}")
-print(f"Max r={r[-1]:.4f}")
-print(f"Ratio r(1e-2)/r_max = {r[i]/r[-1]:.4f}")
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.semilogx(temp, r / r[-1])
+    ax.axvline(args.probe_temp, ls=":", color="gray")
+    ax.set(xlabel="temperature", ylabel="fraction of total FR distance",
+           title="cumulative Fisher-Rao arc length")
+    fig.savefig(args.out, dpi=120)
+
+    i = int(np.searchsorted(temp, args.probe_temp))
+    i = min(i, len(temp) - 1)
+    frac = r[i] / r[-1] if r[-1] > 0 else float("nan")
+    print(f"total arc length: {r[-1]:.4f}")
+    print(
+        f"fraction accumulated below T={args.probe_temp:g}: {frac:.4f} "
+        f"(r={r[i]:.4f})"
+    )
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,7 @@ def main(config: Config) -> None:
     import jax
 
     from pdm_tpu.models.from_config import ddpm_from_config
-    from pdm_tpu.stats.model_metric import model_metric_stats
+    from pdm_tpu.stats.model_metric import empirical_entropy_stats
     from pdm_tpu.utils.data import get_data_tensor
 
     ensure_dirs("stats")
@@ -28,26 +28,17 @@ def main(config: Config) -> None:
         ddpm = ddpm_from_config(config, pretrained=True)
         temp = temp_grid(config.diffusion.min_temp, config.diffusion.max_temp,
                          config.empirical_stats.n_temps)
-        out = model_metric_stats(
+        out = empirical_entropy_stats(
             jax.random.PRNGKey(0), ddpm, data, temp,
             n_samples=config.empirical_stats.batch_size
             * config.empirical_stats.n_steps_per_temp,
             batch_size=config.empirical_stats.batch_size,
         )
-        ds = out["metric"]  # = dS/dlogT
-        log_t = out["log_temp"]
-        d_log_temp = np.diff(log_t)
-        ent = np.concatenate([[0.0], np.cumsum(0.5 * (ds[1:] + ds[:-1]) * d_log_temp)])
-        ent -= ent[-1]
-        sigma = np.sqrt(out["temp"])
-        resc = np.concatenate(
-            [[0.0], np.cumsum(0.5 * (ds[1:] * sigma[1:] + ds[:-1] * sigma[:-1]) * d_log_temp)]
-        )
-        resc -= resc[-1]
         np.savez(
             config.empirical_stats_path,
-            temp=out["temp"], entropy=ent, rescaled_entropy=resc,
-            d_entropy_d_log_temp=ds,
+            temp=out["temp"], entropy=out["entropy"],
+            rescaled_entropy=out["rescaled_entropy"],
+            d_entropy_d_log_temp=out["d_entropy_d_log_temp"],
         )
         print(f"saved {config.empirical_stats_path}")
 

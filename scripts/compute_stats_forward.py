@@ -15,10 +15,12 @@ def main(config: Config) -> None:
     setup_jax()
     import jax
 
+    from pdm_tpu.parallel.mesh import mesh_from_config
     from pdm_tpu.stats.sweep import forward_stats
     from pdm_tpu.utils.data import get_data_tensor
 
     ensure_dirs("stats")
+    mesh = mesh_from_config(config.parallel)
     for dataset_name in config.available_datasets:
         print(dataset_name)
         config.dataset_name = dataset_name
@@ -29,6 +31,7 @@ def main(config: Config) -> None:
             jax.random.PRNGKey(0), data, temp,
             n_samples=config.forward_stats.n_samples,
             batch_size=config.forward_stats.batch_size,
+            mesh=mesh,
         )
         np.savez(config.forward_stats_path, **stats)
         print(f"saved {config.forward_stats_path}")

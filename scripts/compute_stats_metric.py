@@ -16,6 +16,7 @@ def main() -> None:
     setup_jax()
     import jax
 
+    from pdm_tpu.parallel.mesh import mesh_from_config
     from pdm_tpu.stats.sweep import metric_stats
     from pdm_tpu.utils.data import get_data_tensor
 
@@ -43,6 +44,7 @@ def main() -> None:
         adaptive_knn=args.adaptive_knn,
         knn_k=args.knn_k,
         sigma_reg_scale=args.sigma_reg_scale,
+        mesh=mesh_from_config(config.parallel),
     )
     np.savez(config.metric_stats_path, **stats)
     print(f"saved {config.metric_stats_path}")

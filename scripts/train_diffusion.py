@@ -14,10 +14,14 @@ def main(config: Config) -> None:
 
     from pdm_tpu.diffusion.trainer import DDPMTrainer
     from pdm_tpu.models.from_config import ddpm_from_config
+    from pdm_tpu.parallel.mesh import mesh_from_config
     from pdm_tpu.utils.data import get_data_tensor
     from pdm_tpu.utils.logging import CSVLogger, make_eval_fn
 
     ensure_dirs(config.checkpoint_dir, "logs")
+    mesh = mesh_from_config(config.parallel)
+    if mesh is not None:
+        print(f"mesh: {dict(mesh.shape)}")
     data = get_data_tensor(config)
     ddpm = ddpm_from_config(config)
     tc = config.ddpm_training
@@ -40,7 +44,9 @@ def main(config: Config) -> None:
             and config.data_augmentation.horizontal_flip
         ),
     )
-    trainer.train(data, batch_size=tc.batch_size, total_iters=tc.total_iters)
+    trainer.train(
+        data, batch_size=tc.batch_size, total_iters=tc.total_iters, mesh=mesh
+    )
 
 
 if __name__ == "__main__":

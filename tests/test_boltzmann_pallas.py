@@ -1,4 +1,10 @@
-"""Pallas Boltzmann kernel vs the XLA oracle (interpret mode on CPU)."""
+"""Pallas Boltzmann kernel vs the XLA oracle (interpret mode on CPU).
+
+The default ``bf16_3x`` MXU precision has the same error profile as XLA's
+fp32 matmul lowering on TPU (~2^-16 relative on the Gram), so against the
+CPU oracle (exact fp32) the posterior mean can differ at ~1e-4 where the
+softmax is peaked — the fp32 mode is bit-faithful and tested tightly.
+"""
 
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +29,26 @@ def test_pallas_matches_xla(B, N, D):
     np.testing.assert_allclose(np.asarray(got.log_z), np.asarray(ref.log_z), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.e1), np.asarray(ref.e1), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(got.var), np.asarray(ref.var), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(ref.mean), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("B,N,D", [(16, 700, 40), (128, 1024, 640)])
+def test_pallas_fp32_mode_matches_xla_tightly(B, N, D):
+    """fp32 MXU mode against the fp32 CPU oracle: tight tolerances,
+    including a D large enough to exercise the D-tiled grid (TD=512)."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    y = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    inv_temp = jnp.asarray(rng.uniform(0.5, 3.0, B).astype(np.float32))
+
+    ref = boltzmann_moments_xla(x, y, inv_temp, compute_mean=True)
+    got = boltzmann_moments_pallas(
+        x, y, inv_temp, compute_mean=True, mxu_precision="fp32",
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got.log_z), np.asarray(ref.log_z), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.e1), np.asarray(ref.e1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.var), np.asarray(ref.var), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(got.mean), np.asarray(ref.mean), rtol=1e-4, atol=1e-4)
 
 
@@ -39,5 +65,32 @@ def test_pallas_no_mean_and_values_payload():
     ref_v = boltzmann_moments_xla(x, y, 2.0, values=vals)
     got_v = boltzmann_moments_pallas(x, y, 2.0, values=vals, interpret=True)
     np.testing.assert_allclose(
-        np.asarray(got_v.mean), np.asarray(ref_v.mean), rtol=1e-4, atol=1e-4
+        np.asarray(got_v.mean), np.asarray(ref_v.mean), rtol=1e-3, atol=1e-3
     )
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu",
+    reason="real-TPU (non-interpret) kernel parity needs a TPU",
+)
+def test_pallas_compiled_on_tpu_matches_xla():
+    """Backend-gated: the COMPILED Mosaic kernel against the on-TPU XLA
+    path at flagship-like shapes (D-tiled grid, both precisions)."""
+    rng = np.random.RandomState(3)
+    B, N, D = 256, 4096, 3072
+    x = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    y = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    inv_temp = jnp.asarray(rng.uniform(0.05, 2.0, B).astype(np.float32))
+
+    ref = boltzmann_moments_xla(x, y, inv_temp)
+    for prec in ("bf16_3x", "fp32"):
+        got = boltzmann_moments_pallas(x, y, inv_temp, mxu_precision=prec)
+        np.testing.assert_allclose(
+            np.asarray(got.log_z), np.asarray(ref.log_z), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.e1), np.asarray(ref.e1), rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.var), np.asarray(ref.var), rtol=1e-2, atol=1e-3
+        )

@@ -85,3 +85,80 @@ def test_thermo_sweep_sharded_uneven_dataset():
                        batch_size=32, mesh=mesh)
     assert np.all(np.isfinite(out["entropy"]))
     assert np.all(np.isfinite(out["metric"]))
+
+
+def test_mesh_from_config():
+    from pdm_tpu.config.config import ParallelConfig
+    from pdm_tpu.parallel.mesh import check_batch_divisible, mesh_from_config
+
+    # explicit layout
+    mesh = mesh_from_config(ParallelConfig(data_axis=4, model_axis=2))
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    # default: all visible devices on 'data'
+    mesh = mesh_from_config(ParallelConfig())
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    # single visible device + no request -> None (scripts skip sharding)
+    mesh1 = mesh_from_config(ParallelConfig(), devices=jax.devices()[:1])
+    assert mesh1 is None
+    # oversubscription is a loud error
+    import pytest
+
+    with pytest.raises(ValueError, match="devices"):
+        mesh_from_config(ParallelConfig(data_axis=16, model_axis=1))
+    with pytest.raises(ValueError, match="divisible"):
+        check_batch_divisible(12, mesh, what="batch")
+
+
+def test_trainer_train_mesh_matches_single_device():
+    """trainer.train(mesh=...) (the CLI path) logs step-for-step identical
+    losses to the unsharded loop: DP/TP resharding must not change math."""
+    from pdm_tpu.diffusion.trainer import DDPMTrainer
+    from pdm_tpu.models.unet import UNet2D
+    from pdm_tpu.models.unet_ddpm import init_unet_ddpm
+    from pdm_tpu.schedulers.analytic import LinearBetaScheduler
+
+    net = UNet2D(
+        in_channels=1, out_channels=1, block_out_channels=(8, 16),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "UpBlock2D"), layers_per_block=1,
+        attention_head_dim=8, norm_groups=4, dropout=0.0,
+    )
+    ddpm = init_unet_ddpm(
+        jax.random.PRNGKey(0), LinearBetaScheduler(1e-4, 1e2), net,
+        (1, 16, 16), parametrization="eps",
+    )
+    data = jnp.asarray(
+        np.random.RandomState(0).randn(64, 1, 16, 16).astype(np.float32)
+    )
+
+    def run(mesh):
+        logged = {}
+        trainer = DDPMTrainer(
+            ddpm=ddpm, learning_rate=1e-3, warmup_steps=1, total_iters=3,
+            grad_clip=1.0, ema_decay=0.99,
+            log_fn=lambda step, m: logged.__setitem__(step, m["loss"]),
+        )
+        trainer.train(data, batch_size=16, total_iters=3, log_every=1,
+                      mesh=mesh)
+        return logged
+
+    ref = run(None)
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        got = run(mesh)
+    assert set(ref) == set(got) == {1, 2, 3}
+    for step in ref:
+        np.testing.assert_allclose(got[step], ref[step], rtol=1e-4)
+
+
+def test_trainer_train_mesh_rejects_bad_batch():
+    import pytest
+
+    from pdm_tpu.diffusion.trainer import DDPMTrainer
+    from pdm_tpu.models.base import TrueDDPM
+
+    trainer = DDPMTrainer(ddpm=None)
+    mesh = make_mesh(data=8, model=1)
+    with pytest.raises(ValueError, match="divisible"):
+        trainer.train(jnp.zeros((8, 1, 2, 2)), batch_size=12, total_iters=1,
+                      mesh=mesh)

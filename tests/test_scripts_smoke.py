@@ -47,7 +47,8 @@ def test_check_distance_and_analyze_fids(tmp_path):
     r = run_script("check_distance.py", "--stats_path", str(tmp_path / "m.npz"),
                    cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "Max r=" in r.stdout
+    assert "total arc length" in r.stdout
+    assert "fraction accumulated" in r.stdout
 
     os.makedirs(tmp_path / "fid", exist_ok=True)
     with open(tmp_path / "fid" / "exp.csv", "w") as f:
@@ -108,3 +109,29 @@ def test_sample_cli_custom_schedule(tmp_path):
     assert x.shape == (64,)
     modes = np.array([-1.1, -0.9, 0.9, 1.1])
     assert np.quantile(np.abs(x[:, None] - modes[None]).min(1), 0.9) < 0.15
+
+
+def test_stats_cli_sharded_matches_single_device(tmp_path):
+    """compute_stats_forward.py with --parallel.data_axis 8 writes the same
+    entropy curve as the single-device run (exact psum-merged sweep)."""
+    outs = {}
+    for ax in ("1", "8"):
+        cwd = tmp_path / f"ax{ax}"
+        (cwd / "stats").mkdir(parents=True)
+        r = run_script(
+            "compute_stats_forward.py", "--dataset_name", "gmm1d",
+            "--forward_stats.n_samples", "64",
+            "--forward_stats.batch_size", "64",
+            "--forward_stats.n_temps", "6",
+            "--parallel.data_axis", ax, "--parallel.model_axis", "1",
+            cwd=str(cwd),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[ax] = np.load(cwd / "stats" / "gmm1d_forward.npz")
+    np.testing.assert_allclose(
+        outs["8"]["entropy"], outs["1"]["entropy"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        outs["8"]["heat_capacity"], outs["1"]["heat_capacity"],
+        rtol=1e-3, atol=1e-5,
+    )

@@ -205,16 +205,21 @@ def test_empirical_entropy_integration():
         jax.random.PRNGKey(9), ddpm, jnp.asarray(data), temp,
         n_samples=256, batch_size=256,
     )
-    # dS/dlogT estimator carries the same VE/VP scale mismatch as the
-    # model metric (see test above): integrate the mismatch-aware integrand
-    # 0.5 [ (1-1/sqrt(1+T))^2/T + 1/(1+T) ] numerically on a fine grid.
+    # VP noising (the reference empirical-stats convention) into the exact
+    # posterior model: per-dim MMSE for unit-Gaussian data is T/(1+T), so
+    # dS/dlogT = 0.5 * MMSE / T = 0.5/(1+T) — the Gaussian posterior-entropy
+    # derivative d/dlogT [0.5 log(2 pi e T/(1+T))]. Integrate it on a fine
+    # grid and re-anchor to 0 at max temperature (reference contract).
     tf = np.logspace(np.log10(temp[0]), np.log10(temp[-1]), 2001)
-    integrand = 0.5 * ((1 - 1 / np.sqrt(1 + tf)) ** 2 / tf + 1 / (1 + tf))
+    integrand = 0.5 / (1 + tf)
     cum = np.concatenate(
         [[0.0], np.cumsum(0.5 * (integrand[1:] + integrand[:-1]) * np.diff(np.log(tf)))]
     )
     want = np.interp(np.log(temp), np.log(tf), cum)
+    want -= want[-1]
     np.testing.assert_allclose(out["entropy"], want, atol=0.1)
+    assert out["entropy"][-1] == 0.0  # zero-at-max anchor
+    assert "rescaled_entropy" in out and out["rescaled_entropy"][-1] == 0.0
     assert np.all(out["d_entropy_d_log_temp"] > 0)
 
 
