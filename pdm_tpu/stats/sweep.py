@@ -36,7 +36,9 @@ from jax import Array
 from ..ops.boltzmann import boltzmann_moments_xla
 
 
-@partial(jax.jit, static_argnames=("with_knn", "axis_name"))
+@partial(
+    jax.jit, static_argnames=("with_knn", "axis_name", "n_true")
+)
 def _sweep_batch(
     key: jax.Array,
     x0: Array,  # (B, D) trajectory starts
@@ -45,44 +47,60 @@ def _sweep_batch(
     sigma_reg_sq: Optional[Array],  # (N,) per-point adaptive sigma^2 or None
     with_knn: bool = False,
     axis_name: Optional[str] = None,
+    prep_pack=None,  # (y_hi, y_lo|None, ysq) from prepare_y, or None
+    n_true: Optional[int] = None,
 ) -> Dict[str, Array]:
-    """Per-batch sweep: sequential lax.map over temperatures (each iteration
-    is a full streaming pass over the dataset — MXU-bound). With
+    """Per-batch sweep over all temperatures with a SHARED noise draw per
+    trajectory (common random numbers): every per-temperature estimate is
+    unbiased and the whole sweep costs two Grams instead of one per
+    temperature (ops/boltzmann_sweep.py). On TPU the fused Pallas kernel
+    runs the per-temperature epilogues on VMEM-resident Gram blocks
+    (~15-20x over the per-temperature path at CIFAR scale); elsewhere the
+    XLA per-temperature pass is used with the same shared noise. With
     ``axis_name`` set (under shard_map), ``data`` is this chip's dataset
     shard and the accumulators psum-merge across the mesh."""
+    from ..ops.boltzmann_sweep import SWEEP_PRECISION, boltzmann_sweep
+
     n_objects = data.shape[0]
     if axis_name is not None:
         n_objects = n_objects * jax.lax.axis_size(axis_name)
     values = sigma_reg_sq[:, None] if with_knn else None
+    eps = jax.random.normal(key, x0.shape)
 
-    def per_temp(inp):
-        i, t = inp
-        eps = jax.random.normal(jax.random.fold_in(key, i), x0.shape)
-        xt = x0 + jnp.sqrt(t) * eps
-        if axis_name is not None:
+    if axis_name is not None:
+
+        def per_temp(t):
             from ..ops.boltzmann import boltzmann_moments_shard_body
 
-            mom = boltzmann_moments_shard_body(
+            xt = x0 + jnp.sqrt(t) * eps
+            return boltzmann_moments_shard_body(
                 xt, data, inv_temp=1.0 / t, values=values,
                 axis_name=axis_name,
             )
-        else:
-            mom = boltzmann_moments_xla(
-                xt, data, inv_temp=1.0 / t, values=values
-            )
-        out = {
-            "entropy": jnp.mean(mom.entropy(n_objects)),
-            "free_energy": jnp.mean(-t * mom.log_z),
-            "var_g": mom.var,  # (B,) posterior energy/T variance
-            "log_z": mom.log_z,
-        }
-        out["sigma_eff"] = (
-            mom.mean[:, 0] if with_knn else jnp.zeros_like(mom.var)
-        )
-        return out
 
-    n_temps = temp.shape[0]
-    return jax.lax.map(per_temp, (jnp.arange(n_temps), temp))
+        mom = jax.lax.map(per_temp, temp)
+    else:
+        y_arg = data
+        if prep_pack is not None:
+            from ..ops.boltzmann_pallas import PreparedY
+
+            y_hi, y_lo, ysq = prep_pack
+            y_arg = PreparedY(y_hi, y_lo, ysq, n_true, data.shape[1])
+        mom = boltzmann_sweep(
+            x0, eps, y_arg, temp, values=values,
+            mxu_precision=SWEEP_PRECISION,
+        )
+
+    t_col = temp[:, None]
+    return {
+        "entropy": jnp.mean(mom.entropy(n_objects), axis=1),
+        "free_energy": jnp.mean(-t_col * mom.log_z, axis=1),
+        "var_g": mom.var,  # (n_temps, B) posterior energy/T variance
+        "log_z": mom.log_z,
+        "sigma_eff": (
+            mom.mean[:, :, 0] if with_knn else jnp.zeros_like(mom.var)
+        ),
+    }
 
 
 def _regularized_metric(
@@ -145,6 +163,16 @@ def thermo_sweep(
     bi = 0
     sweep_fn = _sweep_batch
     data_sharded = data2d
+
+    # single-device TPU path: pay the dataset pad/split/norm once for the
+    # whole sweep (the fused kernel consumes the prepared pack)
+    prep_pack, n_true = None, None
+    if mesh is None and jax.default_backend() == "tpu":
+        from ..ops.boltzmann_pallas import prepare_y
+        from ..ops.boltzmann_sweep import SWEEP_PRECISION
+
+        prep = prepare_y(data2d, SWEEP_PRECISION)
+        prep_pack, n_true = (prep.y_hi, prep.y_lo, prep.ysq), prep.n
     if mesh is not None:
         # dataset axis sharded over the mesh 'data' axis: each chip streams
         # its shard and the online-softmax accumulators psum-merge exactly.
@@ -184,7 +212,7 @@ def thermo_sweep(
         else:
             out = sweep_fn(
                 jax.random.fold_in(key, bi), x0, data2d, temp_j, sigma_reg_sq,
-                with_knn,
+                with_knn, prep_pack=prep_pack, n_true=n_true,
             )
         entropy_acc.append(np.asarray(out["entropy"]) * bs)
         free_energy_acc.append(np.asarray(out["free_energy"]) * bs)
