@@ -415,7 +415,7 @@ def boltzmann_sweep(
     temps: Array,
     *,
     values: Optional[Array] = None,
-    mxu_precision: str = "bf16_3x",
+    mxu_precision: Optional[str] = None,
     interpret: bool = False,
     force_xla: bool = False,
 ) -> BoltzmannMoments:
@@ -427,6 +427,17 @@ def boltzmann_sweep(
     """
     import os
 
+    if mxu_precision is None:
+        mxu_precision = SWEEP_PRECISION
+    if isinstance(y, PreparedY):
+        # the pack's layout must match the requested MXU precision
+        want_lo = mxu_precision == "bf16_3x"
+        want_dtype = jnp.float32 if mxu_precision == "fp32" else jnp.bfloat16
+        if (y.y_lo is not None) != want_lo or y.y_hi.dtype != want_dtype:
+            raise ValueError(
+                f"PreparedY was built for a different mxu_precision than "
+                f"{mxu_precision!r}; call prepare_y(y, {mxu_precision!r})"
+            )
     n_temps = int(temps.shape[0])
     use_pallas = (
         not force_xla
