@@ -283,10 +283,17 @@ class DDPMTrainer:
         batch_out_sharding = None
         if mesh is not None:
             from ..parallel.mesh import (
-                batch_sharding, check_batch_divisible, replicated,
+                batch_sharding, check_batch_divisible, replicated, unet_with_tp,
             )
 
             check_batch_divisible(batch_size, mesh)
+            if mesh.shape.get("model", 1) > 1 and hasattr(
+                self.ddpm.module, "act_sharding"
+            ):
+                # tensor-parallel activation/head constraints in the UNet
+                self.ddpm = dataclasses.replace(
+                    self.ddpm, module=unet_with_tp(self.ddpm.module, mesh)
+                )
             batch_out_sharding = batch_sharding(mesh)
             if hasattr(data, "devices"):
                 # replicate the (small vs HBM) dataset across the mesh so

@@ -115,6 +115,9 @@ class AttentionBlock(nn.Module):
     norm_eps: float
     dtype: Any = jnp.float32
     norm_dtype: Any = jnp.float32
+    # optional NamedSharding for (B, heads, S, hd) tensors: tensor-parallel
+    # attention shards the head axis over the mesh 'model' axis
+    head_sharding: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -131,7 +134,10 @@ class AttentionBlock(nn.Module):
         v = nn.Dense(C, name="to_v", dtype=self.dtype)(h)
 
         def split(t):
-            return t.reshape(B, H * W, heads, hd).transpose(0, 2, 1, 3)
+            t = t.reshape(B, H * W, heads, hd).transpose(0, 2, 1, 3)
+            if self.head_sharding is not None and heads > 1:
+                t = jax.lax.with_sharding_constraint(t, self.head_sharding)
+            return t
 
         q, k, v = split(q), split(k), split(v)
         logits = jnp.einsum(
@@ -206,6 +212,18 @@ class UNet2D(nn.Module):
     # a pathological XLA lowering (6.5 s/step vs 0.2 s/step on the flagship
     # train step) — the casts around fp32 norms are the fast path.
     norm_dtype: Any = jnp.float32
+    # Tensor parallelism (optional): NamedSharding for NHWC activations
+    # (channel axis over 'model'), applied at block boundaries so GSPMD
+    # keeps channel-sharded layouts through the convs instead of
+    # all-gathering activations; and for attention (B, heads, S, hd)
+    # tensors (head axis over 'model'). Set via parallel.mesh.unet_with_tp.
+    act_sharding: Any = None
+    head_sharding: Any = None
+
+    def _constrain(self, h: Array) -> Array:
+        if self.act_sharding is not None:
+            return jax.lax.with_sharding_constraint(h, self.act_sharding)
+        return h
 
     @nn.compact
     def __call__(self, x: Array, tau: Array, *, deterministic: bool = True) -> Array:
@@ -228,11 +246,13 @@ class UNet2D(nn.Module):
                 head_dim=self.attention_head_dim, norm_groups=self.norm_groups,
                 norm_eps=self.norm_eps, dtype=self.dtype,
                 norm_dtype=self.norm_dtype, name=name,
+                head_sharding=self.head_sharding,
             )
 
         h = nn.Conv(ch0, (3, 3), padding=1, name="conv_in", dtype=self.dtype)(
             x.astype(self.dtype)
         )
+        h = self._constrain(h)
         skips = [h]
 
         # ---- down path ----
@@ -246,12 +266,14 @@ class UNet2D(nn.Module):
                 )
                 if btype == "AttnDownBlock2D":
                     h = attn(f"down_{i}_attn_{j}")(h)
+                h = self._constrain(h)
                 skips.append(h)
             if i < n_blocks - 1:
                 h = Downsample(
                     out_ch, self.downsample_padding, dtype=self.dtype,
                     name=f"down_{i}_downsample",
                 )(h)
+                h = self._constrain(h)
                 skips.append(h)
 
         # ---- mid ----
@@ -260,6 +282,7 @@ class UNet2D(nn.Module):
         if self.add_mid_attention:
             h = attn("mid_attn")(h)
         h = resnet(mid_ch, "mid_resnet_1")(h, temb, deterministic=deterministic)
+        h = self._constrain(h)
 
         # ---- up path ----
         for i, btype in enumerate(self.up_block_types):
@@ -271,8 +294,10 @@ class UNet2D(nn.Module):
                 )
                 if btype == "AttnUpBlock2D":
                     h = attn(f"up_{i}_attn_{j}")(h)
+                h = self._constrain(h)
             if i < n_blocks - 1:
                 h = Upsample(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
+                h = self._constrain(h)
 
         assert not skips, f"unconsumed skip connections: {len(skips)}"
 

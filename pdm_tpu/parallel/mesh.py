@@ -125,3 +125,23 @@ def shard_params(params, mesh: Mesh):
         params,
         params_sharding(params, mesh),
     )
+
+
+def unet_with_tp(net, mesh: Mesh):
+    """Copy of a UNet2D with tensor-parallel activation constraints.
+
+    Channel axis of NHWC activations and the attention head axis shard
+    over 'model' — together with the output-channel weight sharding
+    (``params_sharding``) GSPMD keeps channel-sharded layouts through the
+    convs (reduce-scatter on the Cin contraction) instead of
+    all-gathering full activations. No-op on a model=1 mesh.
+    """
+    import dataclasses
+
+    if mesh.shape["model"] <= 1:
+        return net
+    return dataclasses.replace(
+        net,
+        act_sharding=NamedSharding(mesh, P("data", None, None, "model")),
+        head_sharding=NamedSharding(mesh, P("data", "model", None, None)),
+    )

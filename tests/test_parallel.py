@@ -162,3 +162,56 @@ def test_trainer_train_mesh_rejects_bad_batch():
     with pytest.raises(ValueError, match="divisible"):
         trainer.train(jnp.zeros((8, 1, 2, 2)), batch_size=12, total_iters=1,
                       mesh=mesh)
+
+
+def test_tp_step_hlo_has_no_large_activation_allgathers():
+    """model=2 TP train step: compiled HLO must reduce over the sharded
+    channel contraction (all-reduce / reduce-scatter) rather than
+    all-gathering full conv activations; and it must numerically match the
+    replicated step (covered by the parity test above)."""
+    import re
+
+    from pdm_tpu.diffusion.trainer import DDPMTrainer
+    from pdm_tpu.models.unet import UNet2D
+    from pdm_tpu.models.unet_ddpm import init_unet_ddpm
+    from pdm_tpu.parallel.mesh import unet_with_tp
+    from pdm_tpu.schedulers.analytic import LinearBetaScheduler
+
+    net = UNet2D(
+        in_channels=1, out_channels=1, block_out_channels=(16, 32),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "UpBlock2D"), layers_per_block=1,
+        attention_head_dim=8, norm_groups=4, dropout=0.0,
+    )
+    ddpm = init_unet_ddpm(
+        jax.random.PRNGKey(0), LinearBetaScheduler(1e-4, 1e2), net,
+        (1, 16, 16), parametrization="eps",
+    )
+    mesh = make_mesh(data=4, model=2)
+    trainer = DDPMTrainer(
+        ddpm=ddpm, learning_rate=1e-3, warmup_steps=1, total_iters=4,
+        grad_clip=1.0, ema_decay=0.99,
+    )
+    trainer.ddpm = __import__("dataclasses").replace(
+        ddpm, module=unet_with_tp(net, mesh)
+    )
+    batch = shard_batch(jnp.zeros((32, 1, 16, 16), jnp.float32), mesh)
+    with mesh:
+        state = trainer.init_state(mesh=mesh)
+        step = trainer._build_train_step()
+        txt = step.lower(state, jax.random.PRNGKey(1), batch).compile().as_text()
+
+    # gradient reduction over 'data' must exist
+    assert "all-reduce" in txt or "reduce-scatter" in txt
+
+    # no all-gather producing a tensor at/above the full activation size
+    # (bs=32 x 16 x 16 x 16 = 131072 elements)
+    sizes = []
+    for m in re.finditer(r"all-gather[^=]*=\s*\(?[a-z0-9]+\[([0-9,]*)\]", txt):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        n = 1
+        for d in dims:
+            n *= d
+        sizes.append(n)
+    big = [s for s in sizes if s >= 32 * 16 * 16 * 16]
+    assert not big, f"full-activation all-gathers in TP step: {sorted(sizes)[-5:]}"
