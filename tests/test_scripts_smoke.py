@@ -135,3 +135,15 @@ def test_stats_cli_sharded_matches_single_device(tmp_path):
         outs["8"]["heat_capacity"], outs["1"]["heat_capacity"],
         rtol=1e-3, atol=1e-5,
     )
+
+
+def test_schedule_ordering_exp(tmp_path):
+    r = run_script(
+        "schedule_ordering_exp.py", "--dim", "8", "--n_data", "2000",
+        "--n_eval", "256", "--n_temps", "12", "--steps", "5", "10",
+        "--min_temp", "1e-4",
+        cwd=str(tmp_path), timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "schedule_ordering.md").exists()
+    assert "entropy" in r.stdout and "metric" in r.stdout
