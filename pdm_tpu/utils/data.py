@@ -20,6 +20,7 @@ Capability parity: reference ``utils/data.py``.
 
 from __future__ import annotations
 
+import os
 from typing import Generator, Optional, Tuple
 
 import jax
@@ -140,6 +141,16 @@ def get_data_array(
             return samples
         data = synthetic.generate_dataset(name, d=ds_cfg.channels)
         return data.reshape(len(data), ds_cfg.channels, 1, 1)
+    # pre-staged PDMC cache (scripts/prepare_data.py): uint8 NHWC, mmap'd
+    # and decoded to [-1, 1] CHW fp32 by the native runtime
+    cache = _pdmc_cache_path(ds_cfg.name, train)
+    if os.path.exists(cache):
+        from .. import runtime
+
+        raw = runtime.read_cache(cache)  # (N, H, W, C) uint8
+        if limit is not None:
+            raw = raw[:limit]
+        return runtime.normalize_u8_to_chw_f32(np.asarray(raw))
     if ds_cfg.hf_dataset_name is not None:
         imgs, _ = load_hf_images(
             ds_cfg.hf_dataset_name,
@@ -151,6 +162,11 @@ def get_data_array(
         )
         return imgs
     raise ValueError(f"dataset {ds_cfg.name} has no data source")
+
+
+def _pdmc_cache_path(name: str, train: bool) -> str:
+    root = os.environ.get("PDM_DATA_CACHE", "data_cache")
+    return os.path.join(root, f"{name}_{'train' if train else 'test'}.pdmc")
 
 
 def get_data_tensor(

@@ -147,3 +147,51 @@ def test_schedule_ordering_exp(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "schedule_ordering.md").exists()
     assert "entropy" in r.stdout and "metric" in r.stdout
+
+
+def test_prepare_data_and_cache_pickup(tmp_path):
+    """prepare_data.py stages a fake MNIST idx file into a PDMC cache and
+    the data layer consumes it (resize 28->32, uint8 -> [-1,1] CHW fp32)."""
+    import gzip
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (40, 28, 28), dtype=np.uint8)
+    raw = (2051).to_bytes(4, "big") + (40).to_bytes(4, "big") \
+        + (28).to_bytes(4, "big") + (28).to_bytes(4, "big") + imgs.tobytes()
+    src = tmp_path / "raw"
+    src.mkdir()
+    with gzip.open(src / "train-images-idx3-ubyte.gz", "wb") as f:
+        f.write(raw)
+
+    cache_dir = tmp_path / "cache"
+    env_extra = {"PDM_DATA_CACHE": str(cache_dir)}
+
+    env = dict(os.environ)
+    env.update(env_extra)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "prepare_data.py"),
+         "--dataset", "mnist", "--source", str(src), "--splits", "train"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (cache_dir / "mnist_train.pdmc").exists()
+
+    code = (
+        "import numpy as np\n"
+        "from pdm_tpu.config.loader import load_config\n"
+        "from pdm_tpu.utils.data import get_data_array\n"
+        "cfg = load_config(); cfg.dataset_name = 'mnist'\n"
+        "a = get_data_array(cfg, train=True, limit=8)\n"
+        "assert a.shape == (8, 1, 32, 32), a.shape\n"
+        "assert a.dtype == np.float32 and a.min() >= -1 and a.max() <= 1\n"
+        "print('cache pickup OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "cache pickup OK" in r.stdout
