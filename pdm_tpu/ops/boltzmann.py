@@ -240,13 +240,14 @@ def boltzmann_moments(
 ) -> BoltzmannMoments:
     """Dispatch between the two implementations.
 
-    Default is the XLA lax.scan path: measured on TPU v5e it sustains
-    34-44 TF/s (fp32-in, multi-pass bf16 matmuls) because XLA tiles the
-    contraction (D) axis internally with large MXU blocks, while the
-    Pallas kernel must hold full-D x/y tiles in VMEM and is ~2x slower at
-    D=3072 (19 TF/s). Set PDM_BOLTZMANN_IMPL=pallas to use the fused
-    kernel (wins when XLA's fusion fails or for future bf16/quantized
-    variants).
+    Round-2 measurements (single chip, B=1024, N=50k, D=3072; the part's
+    empirical MXU peak is ~108 TF/s bf16): the D-tiled Pallas kernel at
+    XLA-equivalent precision (bf16_3x) runs 9.9 ms vs XLA's 9.6 ms — both
+    at the MXU roofline — so the XLA path stays the default for the
+    SINGLE-temperature op; PDM_BOLTZMANN_IMPL=pallas opts into the kernel
+    (its "bf16" mode is 1.5x faster at reduced Gram precision). The real
+    Pallas win is the MULTI-temperature sweep (ops/boltzmann_sweep.py,
+    15-18x), which is the default for the thermo sweeps.
     """
     import os
 

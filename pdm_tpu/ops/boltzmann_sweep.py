@@ -465,3 +465,53 @@ def boltzmann_sweep(
     return BoltzmannMoments(
         log_z=logz, shift=shift, e1_hat=e1, e2_hat=e2, mean=mean
     )
+
+
+def boltzmann_sweep_shard_body(
+    x0: Array,
+    eps: Array,
+    y_shard: Array,
+    temps: Array,
+    *,
+    axis_name: str,
+    values: Optional[Array] = None,
+    mxu_precision: Optional[str] = None,
+) -> BoltzmannMoments:
+    """Per-shard body to run under ``shard_map``: the dataset (and values)
+    shard over ``axis_name``; x0/eps/temps replicated. Each chip runs the
+    fused sweep on its shard, then the per-temperature online-softmax
+    accumulators merge exactly (pmax global shift, rescale, psum) — the
+    same merge as boltzmann_moments_shard_body, vectorized over the
+    (n_temps, B) moment arrays.
+    """
+    local = boltzmann_sweep(
+        x0, eps, y_shard, temps, values=values, mxu_precision=mxu_precision
+    )
+    # recover raw accumulator sums from the per-shard normalized moments:
+    # s0 = exp(log_z - m), s1 = e1_hat * s0, s2 = e2_hat * s0
+    m = local.shift
+    s0 = jnp.exp(local.log_z - m)
+    s1 = local.e1_hat * s0
+    s2 = local.e2_hat * s0
+
+    m_g = jax.lax.pmax(m, axis_name)
+    finite = jnp.isfinite(m)
+    c = jnp.where(finite, jnp.exp(m - m_g), 0.0)
+    delta = jnp.where(finite, m_g - m, 0.0)
+    s0_g = jax.lax.psum(s0 * c, axis_name)
+    s1_g = jax.lax.psum((s1 + delta * s0) * c, axis_name)
+    s2_g = jax.lax.psum(
+        (s2 + 2.0 * delta * s1 + jnp.square(delta) * s0) * c, axis_name
+    )
+    mean_g = (
+        None
+        if local.mean is None
+        else jax.lax.psum(local.mean * (s0 * c / s0_g)[..., None], axis_name)
+    )
+    return BoltzmannMoments(
+        log_z=m_g + jnp.log(s0_g),
+        shift=m_g,
+        e1_hat=s1_g / s0_g,
+        e2_hat=s2_g / s0_g,
+        mean=mean_g,
+    )

@@ -68,17 +68,11 @@ def _sweep_batch(
     eps = jax.random.normal(key, x0.shape)
 
     if axis_name is not None:
+        from ..ops.boltzmann_sweep import boltzmann_sweep_shard_body
 
-        def per_temp(t):
-            from ..ops.boltzmann import boltzmann_moments_shard_body
-
-            xt = x0 + jnp.sqrt(t) * eps
-            return boltzmann_moments_shard_body(
-                xt, data, inv_temp=1.0 / t, values=values,
-                axis_name=axis_name,
-            )
-
-        mom = jax.lax.map(per_temp, temp)
+        mom = boltzmann_sweep_shard_body(
+            x0, eps, data, temp, values=values, axis_name=axis_name
+        )
     else:
         y_arg = data
         if prep_pack is not None:

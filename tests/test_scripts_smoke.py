@@ -195,3 +195,21 @@ def test_prepare_data_and_cache_pickup(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "cache pickup OK" in r.stdout
+
+
+def test_export_sampler_cli(tmp_path):
+    r = run_script(
+        "export_sampler.py",
+        "--dataset_name", "gmm1d",
+        "--ddpm.model_name", "true",
+        "--ddpm.parametrization", "x0",
+        "--ddpm.noise_schedule_type", "log_snr",
+        "--diffusion.min_temp", "1e-4", "--diffusion.max_temp", "1e1",
+        "--sample.n_steps", "6", "--sample.batch_size", "32",
+        "--sample.n_samples", "32", "--sample.step_type", "ddim",
+        "--out", str(tmp_path / "gmm.stablehlo"),
+        cwd=str(tmp_path), timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (tmp_path / "gmm.stablehlo").exists()
+    assert (tmp_path / "gmm.stablehlo.json").exists()
