@@ -124,6 +124,53 @@ def main():
         file=sys.stderr,
     )
 
+    # secondary: flagship train-step throughput (donated jit step: noise,
+    # fwd, bwd, clip, Adam, EMA; rbg dropout masks). Timed as K chained
+    # steps inside ONE jit call — per-call timing through the axon tunnel
+    # overlaps dispatch and under-reports device time.
+    from pdm_tpu.diffusion.trainer import DDPMTrainer
+
+    trainer = DDPMTrainer(
+        ddpm=ddpm, learning_rate=1e-4, warmup_steps=10, total_iters=1000,
+        grad_clip=1.0, ema_decay=0.9999,
+    )
+    state = trainer.init_state()
+    xtr = jnp.asarray(
+        rng.standard_normal((batch, 3, size, size)).astype(np.float32)
+    )
+    k_steps = 10
+
+    @jax.jit
+    def train_k(state, key, x0):
+        def body(i, carry):
+            st, acc = carry
+            st2, m = trainer.train_step(st, jax.random.fold_in(key, i), x0)
+            return (st2, acc + m["loss"])
+
+        return jax.lax.fori_loop(0, k_steps, body, (state, 0.0))
+
+    state, lsum = train_k(state, jax.random.PRNGKey(0), xtr)
+    _ = float(lsum)
+    t0 = time.time()
+    state, lsum = train_k(state, jax.random.PRNGKey(1), xtr)
+    _ = float(lsum)
+    step_dt = (time.time() - t0) / k_steps
+    train_img_per_sec = batch / step_dt
+    try:
+        ca_t = jax.jit(trainer.train_step).lower(
+            state, jax.random.PRNGKey(0), xtr
+        ).compile().cost_analysis()
+        ca_t = ca_t[0] if isinstance(ca_t, list) else ca_t
+        train_flops = float(ca_t["flops"])
+    except Exception:
+        train_flops = 11.90e12  # measured once via cost_analysis (bs=256)
+    train_mfu = train_flops / step_dt / device_peak_flops
+    print(
+        f"[bench] train_step={step_dt*1e3:.1f}ms ({train_img_per_sec:.0f} "
+        f"img/s, mfu={train_mfu:.2f})",
+        file=sys.stderr,
+    )
+
     prev = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")))
     vs = 1.0
     if prev:
@@ -142,6 +189,8 @@ def main():
         "vs_baseline": round(vs, 3),
         "mfu": round(mfu, 3),
         "sweep_pairs_per_sec": round(pairs_per_sec, 1),
+        "train_img_per_sec": round(train_img_per_sec, 1),
+        "train_mfu": round(train_mfu, 3),
     }))
 
 

@@ -170,3 +170,44 @@ def test_sharded_train_step_matches_unsharded():
         x_sh = shard_batch(jnp.asarray(data), mesh)
         _, m_sh = trainer.train_step(state2, key, x_sh)
     np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-4)
+
+
+def test_dropout_key_impls():
+    """rbg re-keying: usable by flax dropout, distinct per source key,
+    and a no-op for threefry/None (bit-reproducible mode)."""
+    from pdm_tpu.diffusion.trainer import _dropout_key
+
+    key = jax.random.PRNGKey(42)
+    assert _dropout_key(key, None) is key
+    assert _dropout_key(key, "threefry") is key
+
+    k_rbg = _dropout_key(key, "rbg")
+    assert jnp.issubdtype(k_rbg.dtype, jax.dtypes.prng_key)
+    mask_a = jax.random.bernoulli(k_rbg, 0.5, (1000,))
+    mask_b = jax.random.bernoulli(
+        _dropout_key(jax.random.PRNGKey(43), "rbg"), 0.5, (1000,)
+    )
+    assert 350 < int(mask_a.sum()) < 650
+    assert bool(jnp.any(mask_a != mask_b))
+    # typed-key callers work too (and already-rbg keys pass through wrap)
+    k2 = _dropout_key(jax.random.key(7), "rbg")
+    assert jnp.issubdtype(k2.dtype, jax.dtypes.prng_key)
+
+
+def test_train_step_rbg_dropout_matches_threefry_statistics():
+    """The rbg dropout default must not change the loss scale (masks are
+    statistically equivalent; only the bitstream differs)."""
+    losses = {}
+    for impl in ("threefry", "rbg"):
+        trainer = make_trainer(dropout_rng_impl=impl)
+        state = trainer.init_state()
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(64, 1, 16, 16).astype(np.float32)
+        )
+        ls = []
+        for i in range(4):
+            state, m = trainer.train_step(state, jax.random.PRNGKey(i), x)
+            ls.append(float(m["loss"]))
+        losses[impl] = np.mean(ls)
+        assert np.isfinite(ls).all()
+    np.testing.assert_allclose(losses["rbg"], losses["threefry"], rtol=0.2)
