@@ -274,12 +274,20 @@ class DDPMTrainer:
             return int(f.read().strip())
 
     def load_checkpoint(self, state: TrainState, step: int) -> TrainState:
+        """Restore, preserving the template state's placement: Orbax hands
+        back host arrays, so a mesh-sharded template (TP/DP layouts from
+        init_state(mesh=...)) must be re-device_put or the next train_step
+        would silently run with compiler-default replicated params."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.checkpoint_dir, f"step_{step}"))
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(path, jax.device_get(dataclasses.asdict(state)))
-        return TrainState(**restored)
+        out = TrainState(**restored)
+        shardings = jax.tree_util.tree_map(lambda x: x.sharding, state)
+        return jax.tree_util.tree_map(
+            lambda v, s: jax.device_put(jnp.asarray(v), s), out, shardings
+        )
 
     # ------------------------------------------------------------------
     # the loop

@@ -139,6 +139,10 @@ _PREP_CACHE: dict = {}
 def _prepared(y: Array, mxu_precision: str) -> PreparedY:
     if isinstance(y, PreparedY):
         return y
+    # a dead pack pins ~1.5x the dataset's bytes in HBM, so drop dead
+    # entries on EVERY access, not just past a size threshold
+    for k in [k for k, v in _PREP_CACHE.items() if v[0]() is None]:
+        del _PREP_CACHE[k]
     key = (id(y), mxu_precision)
     hit = _PREP_CACHE.get(key)
     if hit is not None and hit[0]() is y:
@@ -148,9 +152,6 @@ def _prepared(y: Array, mxu_precision: str) -> PreparedY:
         _PREP_CACHE[key] = (weakref.ref(y), prep)
     except TypeError:  # not weakref-able (e.g. numpy scalars in tests)
         pass
-    if len(_PREP_CACHE) > 16:  # drop dead entries
-        for k in [k for k, v in _PREP_CACHE.items() if v[0]() is None]:
-            del _PREP_CACHE[k]
     return prep
 
 
@@ -447,14 +448,25 @@ def boltzmann_moments_pallas(
     from .boltzmann import BoltzmannMoments, _prep, _resolve_values
 
     prep = _prepared(y, mxu_precision)
+    three_pass = mxu_precision == "bf16_3x"
+    if three_pass and prep.y_lo is None:
+        raise ValueError(
+            f"PreparedY was built without the low-order split but "
+            f"mxu_precision={mxu_precision!r} needs it; rebuild with "
+            f"prepare_y(y, 'bf16_3x') or pass a matching mxu_precision"
+        )
+    if not three_pass and mxu_precision == "fp32" and prep.y_hi.dtype != jnp.float32:
+        raise ValueError(
+            f"PreparedY pack is {prep.y_hi.dtype} but mxu_precision='fp32'; "
+            f"rebuild with prepare_y(y, 'fp32')"
+        )
     if compute_mean and values is None:
-        raw = y.y_hi if isinstance(y, PreparedY) else y
         if isinstance(y, PreparedY):
             raise ValueError(
                 "compute_mean=True with a PreparedY needs explicit `values`"
                 " (the prepared pack only stores the split dataset)"
             )
-        vals = _resolve_values(raw, None, True)
+        vals = _resolve_values(y, None, True)
     else:
         vals = (
             values.reshape(values.shape[0], -1).astype(jnp.float32)

@@ -38,13 +38,23 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
-def mesh_from_config(parallel, devices: Optional[Sequence] = None):
+def mesh_from_config(
+    parallel,
+    devices: Optional[Sequence] = None,
+    batch_size: Optional[int] = None,
+):
     """Mesh from a ``ParallelConfig`` (config.py), or None when the run is
     single-device with no parallelism requested.
 
     This is the one entry point the pipeline CLIs use, so a config with
     ``--parallel.data_axis 8`` behaves identically across train / sample /
     stats scripts.
+
+    When ``data_axis`` is unset the 'data' axis is sized automatically to
+    the visible devices; if ``batch_size`` is given, the auto size shrinks
+    to the largest width that divides it (with a warning) instead of
+    hard-failing later in check_batch_divisible — an *explicit* data_axis
+    stays loud.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -59,6 +69,19 @@ def mesh_from_config(parallel, devices: Optional[Sequence] = None):
                 f"{n} visible devices; set parallel.data_axis explicitly"
             )
         data = n // model
+        if batch_size is not None and batch_size % data != 0:
+            import warnings
+
+            best = max(d for d in range(1, data + 1) if batch_size % d == 0)
+            warnings.warn(
+                f"auto mesh: batch_size={batch_size} is not divisible by "
+                f"the {data} available data-parallel slots; using "
+                f"data={best} (set parallel.data_axis to silence)",
+                stacklevel=2,
+            )
+            data = best
+        if data * model == 1:
+            return None
     data = int(data)
     if data < 1 or model < 1 or data * model > n:
         raise ValueError(

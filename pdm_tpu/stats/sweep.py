@@ -20,7 +20,12 @@ adaptive k-NN sigma^2, stats.py:42-108) rides the op's ``values`` channel:
 the posterior-weighted per-point sigma^2 is just E_p[values].
 
 MC protocol parity: ``n_samples`` trajectory starts drawn from the data
-generator, batched; per-temperature fresh noise; batch means averaged.
+generator, batched; ONE shared noise draw per batch reused across all
+temperatures (common random numbers — this is what lets the fused sweep
+kernel decompose the energy as C0 + sqrt(T) D0 + T e^2 and visit the
+dataset once for every temperature; estimates are therefore correlated
+across temperatures, which smooths S(T)/C(T) curves but means per-temp
+errors are not independent); batch means averaged.
 """
 
 from __future__ import annotations

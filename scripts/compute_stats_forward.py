@@ -20,7 +20,9 @@ def main(config: Config) -> None:
     from pdm_tpu.utils.data import get_data_tensor
 
     ensure_dirs("stats")
-    mesh = mesh_from_config(config.parallel)
+    mesh = mesh_from_config(
+        config.parallel, batch_size=config.forward_stats.batch_size
+    )
     for dataset_name in config.available_datasets:
         print(dataset_name)
         config.dataset_name = dataset_name

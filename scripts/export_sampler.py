@@ -39,10 +39,17 @@ if __name__ == "__main__":
     # split our --out flag from the config auto-CLI flags
     argv = sys.argv[1:]
     out = ""
-    if "--out" in argv:
-        i = argv.index("--out")
-        out = argv[i + 1]
-        del argv[i : i + 2]
+    for i, a in enumerate(argv):
+        if a == "--out":
+            if i + 1 >= len(argv):
+                sys.exit("usage: export_sampler.py [--out PATH] [config flags]")
+            out = argv[i + 1]
+            del argv[i : i + 2]
+            break
+        if a.startswith("--out="):
+            out = a.split("=", 1)[1]
+            del argv[i]
+            break
     cfg = load_config()
     update_config_from_args(cfg, parse_args_from_config(cfg, argv))
     main(cfg, out=out)

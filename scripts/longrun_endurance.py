@@ -158,8 +158,12 @@ def main() -> None:
     train_s = time.time() - t0
 
     print("5/5 final quality (EMA params, DDIM-100) + floor...", flush=True)
-    ema_ddpm = ddpm.with_params(state.ema_params)
-    final = eval_fn(ema_ddpm, args.steps)
+    if eval_hist and eval_hist[-1]["step"] == args.steps:
+        # the in-loop eval already ran at the final step
+        final = {"fid": eval_hist[-1]["fid"]}
+    else:
+        ema_ddpm = ddpm.with_params(state.ema_params)
+        final = eval_fn(ema_ddpm, args.steps)
     floor = float(compute_fid(data[: args.eval_samples]))
     steps_run = args.steps - (resume or 0)
     result = {

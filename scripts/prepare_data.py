@@ -82,7 +82,14 @@ def _load_split(source: str, split: str) -> np.ndarray:
                 key = "images" if "images" in z else list(z.keys())[0]
                 arr = z[key]
             if arr.dtype != np.uint8:
-                arr = np.clip(arr, 0, 255).astype(np.uint8)
+                arr = np.asarray(arr, np.float64)
+                if arr.size and arr.max() <= 1.0 + 1e-6:
+                    # float image conventions: [-1, 1] or [0, 1]
+                    if arr.min() < -1e-3:
+                        arr = (arr + 1.0) * 127.5
+                    else:
+                        arr = arr * 255.0
+                arr = np.clip(np.round(arr), 0, 255).astype(np.uint8)
             if arr.ndim == 3:
                 arr = arr[..., None]
             return arr

@@ -19,7 +19,9 @@ def main(config: Config) -> None:
     from pdm_tpu.utils.logging import CSVLogger, make_eval_fn
 
     ensure_dirs(config.checkpoint_dir, "logs")
-    mesh = mesh_from_config(config.parallel)
+    mesh = mesh_from_config(
+        config.parallel, batch_size=config.ddpm_training.batch_size
+    )
     if mesh is not None:
         print(f"mesh: {dict(mesh.shape)}")
     data = get_data_tensor(config)

@@ -107,6 +107,18 @@ def test_mesh_from_config():
         mesh_from_config(ParallelConfig(data_axis=16, model_axis=1))
     with pytest.raises(ValueError, match="divisible"):
         check_batch_divisible(12, mesh, what="batch")
+    # AUTO sizing shrinks to a batch-compatible width with a warning...
+    with pytest.warns(UserWarning, match="auto mesh"):
+        mesh_a = mesh_from_config(ParallelConfig(), batch_size=100)
+    assert dict(mesh_a.shape) == {"data": 5, "model": 1}  # max divisor <= 8
+    # ...and collapses to single-device rather than failing
+    with pytest.warns(UserWarning, match="auto mesh"):
+        assert mesh_from_config(ParallelConfig(), batch_size=1) is None
+    # an EXPLICIT data_axis stays loud (no silent shrink)
+    mesh_e = mesh_from_config(
+        ParallelConfig(data_axis=8), batch_size=100
+    )
+    assert dict(mesh_e.shape) == {"data": 8, "model": 1}
 
 
 def test_trainer_train_mesh_matches_single_device():
@@ -215,3 +227,30 @@ def test_tp_step_hlo_has_no_large_activation_allgathers():
         sizes.append(n)
     big = [s for s in sizes if s >= 32 * 16 * 16 * 16]
     assert not big, f"full-activation all-gathers in TP step: {sorted(sizes)[-5:]}"
+
+
+def test_checkpoint_resume_preserves_mesh_sharding(tmp_path):
+    """Orbax restore hands back host arrays; load_checkpoint must re-place
+    them with the template's TP/DP shardings or the resumed run silently
+    trains with compiler-default replication."""
+    from tests.test_unet_trainer import make_trainer
+
+    mesh = make_mesh(data=4, model=2)
+    trainer = make_trainer(tmp_path)
+    with mesh:
+        state = trainer.init_state(mesh=mesh)
+        trainer.save_checkpoint(state, 1, block=True)
+        restored = trainer.load_checkpoint(state, 1)
+
+    want = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x.sharding, state)
+    )
+    got = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x.sharding, restored)
+    )
+    assert got == want
+    # and at least one parameter leaf is actually model-sharded (not all
+    # replicated), so the assertion above is non-vacuous
+    assert any(
+        not s.is_fully_replicated for s in got
+    ), "expected some TP-sharded leaves in the template state"
