@@ -362,7 +362,11 @@ class DDPMTrainer:
             return x
 
         @partial(jax.jit, donate_argnums=(), **_jit_kw)
-        def select_batch(step_key):
+        def select_batch(data, step_key):
+            # data must be an ARGUMENT, not a closure capture: a captured
+            # concrete array is embedded in the lowered program as a
+            # constant, which bloats the HLO by the whole dataset's bytes
+            # (and overflows the remote-compile transport at CIFAR scale)
             idx = jax.random.randint(step_key, (batch_size,), 0, n)
             return augment(jnp.take(data, idx, axis=0), step_key)
 
@@ -386,7 +390,7 @@ class DDPMTrainer:
                         data.device_batch(idx), jax.random.fold_in(step_key, 1)
                     )
                 else:
-                    x0 = select_batch(jax.random.fold_in(step_key, 1))
+                    x0 = select_batch(data, jax.random.fold_in(step_key, 1))
             with phase("train_step"):
                 state, metrics = self.train_step(
                     state, jax.random.fold_in(step_key, 2), x0
