@@ -31,7 +31,14 @@ def knn_sqdist(data: Array, k: int = 5, chunk_size: int = 1024) -> Array:
     def body(ci):
         rows = jax.lax.dynamic_slice_in_dim(xp, ci * chunk, chunk)
         rows_sq = jax.lax.dynamic_slice_in_dim(xp_sq, ci * chunk, chunk)
-        gram = jnp.dot(rows, x.T, preferred_element_type=jnp.float32)
+        # HIGHEST precision: the rows_sq - 2 gram + x_sq expansion is
+        # cancellation-prone, and a default bf16 Gram at CIFAR scale
+        # (||x||^2 ~ 3e3) carries O(10) absolute error — enough to flip
+        # neighbor order (reference k-NN is exact sklearn)
+        gram = jnp.dot(
+            rows, x.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         dist = rows_sq[:, None] - 2.0 * gram + x_sq[None, :]
         # exclude self-distance: mask the diagonal entries
         col = jnp.arange(n)[None, :]

@@ -86,14 +86,12 @@ class Scheduler:
     def true_score(self, xt: Array, tau: Array, data: Array) -> Array:
         """Analytic marginal score over a finite dataset.
 
-        Parity: reference scheduler.py:47-56. Derived from the posterior
-        mean: score = (sqrt(ab) * E[x0|xt] - xt) / (1 - ab).
+        Parity: reference scheduler.py:47-56. Delegates to the fused op
+        (ops/boltzmann.true_score) — one implementation of the algebra.
         """
-        log_temp = self.log_temp_from_tau(tau)
-        ab = bcast_right(alpha_bar_from_log_temp(log_temp), xt.ndim)
-        omab = bcast_right(one_minus_alpha_bar_from_log_temp(log_temp), xt.ndim)
-        mean = self.true_posterior_mean_x0(xt, tau, data)
-        return (jnp.sqrt(ab) * mean - xt) / omab
+        from ..ops.boltzmann import true_score
+
+        return true_score(xt, self.log_temp_from_tau(tau), data)
 
 
 def register_scheduler_pytree(cls, data_fields: tuple, meta_fields: tuple = ()):

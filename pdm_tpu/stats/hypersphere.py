@@ -37,37 +37,73 @@ from scipy.special import gammaln, ive
 ArrayLike = Union[float, np.ndarray]
 
 
+def _log_iv_series(nu: float, z: np.ndarray) -> np.ndarray:
+    """log I_nu(z) by log-space summation of the ascending series.
+
+    Valid for ANY (nu, z) in float64 — the terms
+    t_k = (2k+nu) log(z/2) - lgamma(k+1) - lgamma(nu+k+1) peak at
+    k* = (-(nu+1) + sqrt((nu+1)^2 + z^2)) / 2 and are summed by
+    logsumexp, so neither the peak magnitude nor the count overflows.
+    Used where the exponentially-scaled ``ive`` underflows (z well below
+    nu at large nu); O(K * len(z)) host work, oracle-path only.
+    """
+    z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+    zs = np.clip(z, 1e-300, None)
+    kstar = 0.5 * (-(nu + 1.0) + np.sqrt((nu + 1.0) ** 2 + float(zs.max()) ** 2))
+    K = int(kstar + 12.0 * np.sqrt(kstar + 1.0) + 30.0)
+    k = np.arange(K, dtype=np.float64)[:, None]
+    logt = (
+        (2.0 * k + nu) * np.log(zs / 2.0)[None, :]
+        - gammaln(k + 1.0)
+        - gammaln(nu + k + 1.0)
+    )
+    m = logt.max(axis=0)
+    return m + np.log(np.exp(logt - m).sum(axis=0))
+
+
 def log_iv(nu: float, z: ArrayLike) -> np.ndarray:
     """log I_nu(z) for z >= 0, stable across the full range.
 
-    Three regimes (thresholds scale with nu like the reference notebook's):
-    a series head ``nu*log(z/2) - lgamma(nu+1)`` as z -> 0 (where even the
-    scaled ``ive`` underflows), the exact exponentially-scaled Bessel
-    ``log(ive) + z`` in the working range, and the Hankel asymptote
-    ``z - log(2 pi z)/2`` beyond it (where ive's 1/sqrt term is all that
-    survives).
+    Three regimes: a series head ``nu*log(z/2) - lgamma(nu+1)`` as z -> 0,
+    the exact exponentially-scaled Bessel ``log(ive) + z`` wherever ive is
+    representable, and the full log-space series where ive underflows —
+    which at large nu is NOT just tiny z: ive(nu, z) vanishes for all
+    z <~ nu (e.g. ive(1535, 100) == 0.0), exactly the regime a
+    high-dimensional sphere oracle lives in.
     """
-    z = np.asarray(z, dtype=np.float64)
-    small = 1e-2 * (nu + 1.0)
-    large = 1e8  # ive is exact far past any temperature this repo probes
+    z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+    small = 1e-6 * (nu + 1.0)
     zs = np.clip(z, 1e-300, None)
     head = nu * np.log(zs / 2.0) - gammaln(nu + 1.0)
-    mid = np.log(np.clip(ive(nu, np.minimum(zs, large)), 1e-300, None)) + z
-    tail = z - 0.5 * np.log(2.0 * np.pi * zs)
-    return np.where(z < small, head, np.where(z > large, tail, mid))
+    scaled = ive(nu, zs)
+    mid = np.log(np.clip(scaled, 1e-300, None)) + z
+    out = np.where(z < small, head, mid)
+    need_series = (z >= small) & (scaled < 1e-280)
+    if np.any(need_series):
+        out[need_series] = _log_iv_series(nu, zs[need_series])
+    return out
 
 
 def _bessel_ratio(nu: float, z: ArrayLike) -> np.ndarray:
     """m(z) = I_{nu+1}(z) / I_nu(z) via the scaled ive quotient.
 
-    As z -> 0 the quotient degrades (both ive underflow toward the series
-    head), so splice in the exact small-z limit z / (2 nu + 2 + O(z^2)).
+    Where either ive underflows (z -> 0, or z <~ nu at large nu) the
+    quotient degenerates; splice in the exact small-z limit z/(2nu+2)
+    and the log-series difference respectively.
     """
-    z = np.asarray(z, dtype=np.float64)
+    z = np.atleast_1d(np.asarray(z, dtype=np.float64))
     small = 1e-4 * (nu + 1.0)
     zs = np.clip(z, small, None)
-    quot = ive(nu + 1.0, zs) / np.clip(ive(nu, zs), 1e-300, None)
-    return np.where(z < small, z / (2.0 * nu + 2.0), quot)
+    lo = ive(nu, zs)
+    quot = ive(nu + 1.0, zs) / np.clip(lo, 1e-300, None)
+    out = np.where(z < small, z / (2.0 * nu + 2.0), quot)
+    need_series = (z >= small) & (lo < 1e-280)
+    if np.any(need_series):
+        zn = zs[need_series]
+        out[need_series] = np.exp(
+            _log_iv_series(nu + 1.0, zn) - _log_iv_series(nu, zn)
+        )
+    return out
 
 
 def log_partition(r: ArrayLike, temp: ArrayLike, d: int) -> np.ndarray:

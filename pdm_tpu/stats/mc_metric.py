@@ -53,7 +53,7 @@ def metric_scalar(
     y = _sample_y_iso(key, x, jnp.sqrt(sigma_sq), n_y)
     mom = boltzmann_moments_xla(y, x, inv_temp=1.0 / sigma_sq)
     marginal_scores = mom.e1  # -D/2 shift drops out of the variance
-    return 0.5 * D - jnp.var(marginal_scores)
+    return 0.5 * D - jnp.var(marginal_scores, ddof=1)
 
 
 def _posterior_dim_moments(
@@ -96,7 +96,7 @@ def metric_matrix_diag(
 
     ex, ex2 = _posterior_dim_moments(y, x, sigma_diag)
     scores = -0.5 + 0.5 * _e_sq_diff(y, ex, ex2) / sigma_diag[None, :]
-    return 0.5 - jnp.var(scores, axis=0)
+    return 0.5 - jnp.var(scores, axis=0, ddof=1)
 
 
 @partial(jax.jit, static_argnames=("n_y",))
@@ -123,7 +123,7 @@ def rescaled_metric_diag(
         -0.5 / sigma_diag[None, :]
         + 0.5 * _e_sq_diff(y, ex, ex2) / jnp.square(sigma_diag)[None, :]
     )
-    g = 0.5 / jnp.square(sigma_diag) - jnp.var(scores, axis=0)
-    sigma0_diag = jnp.var(x, axis=0)
+    g = 0.5 / jnp.square(sigma_diag) - jnp.var(scores, axis=0, ddof=1)
+    sigma0_diag = jnp.var(x, axis=0, ddof=1)
     factor = 4.0 * jnp.square(sigma_diag) / (sigma0_diag + 2.0 * sigma_diag)
     return g * factor

@@ -88,7 +88,7 @@ def model_metric_stats(
         seen += bs
         bi += 1
     metric = acc / seen
-    tr_sigma0 = float(np.asarray(jnp.var(data2d, axis=0).sum()))
+    tr_sigma0 = float(np.asarray(jnp.var(data2d, axis=0, ddof=1).sum()))
     return {
         "temp": np.asarray(temp),
         "metric": metric,
@@ -111,7 +111,14 @@ def empirical_entropy_stats(
 
     Parity: scripts/compute_stats_empirical.py:36-75 (noising via
     scheduler.add_noise, entropy -= entropy[-1], rescaled integrand
-    dS/dlogT * sqrt(T)).
+    dS/dlogT * sqrt(T)) — with ONE deliberate alignment fix: the
+    reference pads the cumulative integral at the TRAILING edge
+    (``np.pad(entropy, (0, 1))`` after the cumsum), which shifts every
+    entropy value one grid index late relative to its temperature; here
+    the 0 is prepended, so entropy[k] is exactly the integral from
+    temp[0] to temp[k]. Values differ from a reference-produced .npz by
+    one trapezoid per bin (the reference's latent off-by-one, same class
+    as the two scheduler knot bugs fixed in round 1).
     """
     out = model_metric_stats(
         key, ddpm, data, temp, n_samples, batch_size, noising="vp"

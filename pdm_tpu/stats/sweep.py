@@ -30,6 +30,7 @@ errors are not independent); batch means averaged.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, Optional
 
@@ -166,7 +167,13 @@ def thermo_sweep(
     # single-device TPU path: pay the dataset pad/split/norm once for the
     # whole sweep (the fused kernel consumes the prepared pack)
     prep_pack, n_true = None, None
-    if mesh is None and jax.default_backend() == "tpu":
+    if (
+        mesh is None
+        and jax.default_backend() == "tpu"
+        # respect the env opt-out: the XLA sweep path consumes the raw
+        # dataset array, not a PreparedY pack
+        and os.environ.get("PDM_SWEEP_IMPL", "pallas") != "xla"
+    ):
         from ..ops.boltzmann_pallas import prepare_y
         from ..ops.boltzmann_sweep import SWEEP_PRECISION
 
@@ -229,7 +236,7 @@ def thermo_sweep(
         var_g, np.asarray(temp, np.float64), regularize, sigma_eff,
         global_sigma_reg_sq,
     )
-    tr_sigma0 = float(np.asarray(jnp.var(data2d, axis=0).sum()))
+    tr_sigma0 = float(np.asarray(jnp.var(data2d, axis=0, ddof=1).sum()))
 
     return {
         "temp": np.asarray(temp),
