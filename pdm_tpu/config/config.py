@@ -40,6 +40,13 @@ class DDPMConfig(BaseModel):
         None, description="UNet architecture overrides"
     )
     precision: str = Field("bf16", description="UNet compute dtype (f32/bf16)")
+    diffusers_path: Optional[str] = Field(
+        None,
+        description=(
+            "Local diffusers checkpoint dir for model_name=diffusers "
+            "(default: pretrained/{dataset diffusers_id})"
+        ),
+    )
 
 
 class DDPMTrainingConfig(BaseModel):

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import typing
 from functools import wraps
 from typing import Any, Callable, Dict, Optional
 
@@ -36,24 +37,52 @@ def flatten_config(config: BaseModel, parent_key: str = "") -> Dict[str, Any]:
     return items
 
 
+def _flatten_with_annotations(model: BaseModel, parent_key: str = ""):
+    """(key, value, declared annotation) triples over the pydantic tree —
+    the ANNOTATION drives CLI typing, so an Optional[int] field whose
+    current value is None still parses as int (not str), and list-typed
+    fields parse as YAML even when their default is None."""
+    for name, field in type(model).model_fields.items():
+        v = getattr(model, name)
+        key = f"{parent_key}.{name}" if parent_key else name
+        if isinstance(v, BaseModel):
+            yield from _flatten_with_annotations(v, key)
+        else:
+            yield key, v, field.annotation
+
+
+def _cli_kind(annotation: Any) -> Any:
+    """'bool', a scalar type, or 'yaml' (parse the flag via yaml.safe_load)."""
+    origin = typing.get_origin(annotation)
+    if origin is typing.Union:
+        args = [a for a in typing.get_args(annotation) if a is not type(None)]
+        if len(args) == 1:
+            return _cli_kind(args[0])
+        return "yaml"
+    if annotation is bool:
+        return "bool"
+    if annotation in (int, float, str):
+        return annotation
+    return "yaml"
+
+
 def parse_args_from_config(
     config: Config, argv: Optional[list] = None
 ) -> argparse.Namespace:
     parser = argparse.ArgumentParser()
-    for key, value in flatten_config(config).items():
-        if isinstance(value, bool):
+    for key, _value, annotation in _flatten_with_annotations(config):
+        kind = _cli_kind(annotation)
+        if kind == "bool":
             parser.add_argument(f"--{key}", action="store_true", default=None)
             parser.add_argument(
                 f"--no-{key}", dest=key, action="store_false", default=None
             )
+        elif kind == "yaml":
+            parser.add_argument(
+                f"--{key}", type=lambda s: yaml.safe_load(s), default=None
+            )
         else:
-            arg_type = type(value) if value is not None else str
-            if arg_type in (list, tuple, dict):
-                parser.add_argument(
-                    f"--{key}", type=lambda s: yaml.safe_load(s), default=None
-                )
-            else:
-                parser.add_argument(f"--{key}", type=arg_type, default=None)
+            parser.add_argument(f"--{key}", type=kind, default=None)
     return parser.parse_args(argv)
 
 

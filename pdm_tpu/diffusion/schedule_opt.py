@@ -74,7 +74,12 @@ def optimize_schedule(
     opt_state = tx.init(log_temp)
 
     @jax.jit
-    def step(log_temp, opt_state, key):
+    def step(ddpm, data2d, log_temp, opt_state, key):
+        # ddpm (param pytree) and data2d are jit ARGUMENTS: closure capture
+        # would embed them in the lowered program as HLO constants —
+        # hundreds of MB at flagship scale (same failure mode the trainer's
+        # select_batch documents)
+
         # monotonicity via sort projection + range clamp (applied to the
         # *input* of the iteration, parity with the reference's
         # pre-iteration projection)
@@ -98,10 +103,11 @@ def optimize_schedule(
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(log_temp, updates), opt_state, loss
 
+    data2d = jnp.asarray(data2d)
     history = []
     for i in range(n_iters):
         log_temp, opt_state, loss = step(
-            log_temp, opt_state, jax.random.fold_in(key, i)
+            ddpm, data2d, log_temp, opt_state, jax.random.fold_in(key, i)
         )
         history.append(float(loss))
         if verbose and (i + 1) % log_every == 0:

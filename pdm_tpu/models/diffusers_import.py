@@ -18,6 +18,7 @@ Name mapping (diffusers -> pdm_tpu.models.unet.UNet2D):
   up_blocks.{i}.resnets.{j} / attentions.{j}    -> up_{i}_resnet_{j} / up_{i}_attn_{j}
   up_blocks.{i}.upsamplers.0.conv               -> up_{i}_upsample.conv
   attention to_out.0                            -> to_out
+  legacy AttentionBlock query/key/value/proj_attn -> to_q/to_k/to_v/to_out
 
 Tensor layout: conv OIHW -> HWIO; linear (out, in) -> (in, out);
 norm weight/bias -> scale/bias.
@@ -63,6 +64,17 @@ _MODULE_RULES = [
 
 def _map_module_path(torch_key: str) -> str:
     key = torch_key.replace("to_out.0.", "to_out.")
+    # real google/ddpm-* Hub checkpoints predate diffusers' Attention
+    # refactor and store the deprecated AttentionBlock leaf names
+    # (query/key/value/proj_attn); migrate them like diffusers' own
+    # checkpoint-version shim does. These substrings only occur inside
+    # attention modules, so blanket replacement is safe.
+    key = (
+        key.replace(".query.", ".to_q.")
+        .replace(".key.", ".to_k.")
+        .replace(".value.", ".to_v.")
+        .replace(".proj_attn.", ".to_out.")
+    )
     for pat, repl in _MODULE_RULES:
         if pat.match(key):
             return pat.sub(repl, key)

@@ -55,7 +55,63 @@ def ddpm_from_config(
             parametrization=parametrization,
         )
 
+    if model_name == "diffusers":
+        return diffusers_ddpm_from_config(config, scheduler)
+
     raise ValueError(f"Unknown model name: {model_name}")
+
+
+def diffusers_ddpm_from_config(config: Config, scheduler) -> UNetDDPM:
+    """The reference's third model family (DDPMDiffusers): a pretrained
+    diffusers UNet2DModel, imported once from a LOCAL checkpoint dir
+    (config.json + diffusion_pytorch_model.{safetensors,bin}; a 'unet/'
+    subdir as in pipeline snapshots also works). Reference semantics:
+    diffusion/ddpm/diffusers_model.py — tau rescaled by num_train_timesteps-1
+    before the timestep embedding."""
+    import json
+    import os
+
+    from .diffusers_import import load_diffusers_unet
+
+    root = config.ddpm.diffusers_path or os.path.join(
+        "pretrained", (config.dataset_config.diffusers_id or "").split("/")[-1]
+    )
+    base = os.path.join(root, "unet") if os.path.isdir(
+        os.path.join(root, "unet")
+    ) else root
+    weights = None
+    for fname in (
+        "diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin",
+    ):
+        p = os.path.join(base, fname)
+        if os.path.exists(p):
+            weights = p
+            break
+    if weights is None:
+        raise FileNotFoundError(
+            f"no diffusers UNet checkpoint under {base!r} (looked for "
+            f"diffusion_pytorch_model.safetensors/.bin; set "
+            f"--ddpm.diffusers_path)"
+        )
+    with open(os.path.join(base, "config.json")) as f:
+        dcfg = json.load(f)
+    dtype = jnp.bfloat16 if config.ddpm.precision == "bf16" else jnp.float32
+    module = unet_from_config(
+        config.dataset_config.channels, dcfg, dtype=dtype
+    )
+    params = load_diffusers_unet(weights)
+    n_train = int(dcfg.get("num_train_timesteps", 1000) or 1000)
+    sched_cfg = os.path.join(root, "scheduler", "scheduler_config.json")
+    if os.path.exists(sched_cfg):
+        with open(sched_cfg) as f:
+            n_train = int(json.load(f).get("num_train_timesteps", n_train))
+    return UNetDDPM(
+        scheduler=scheduler,
+        params=params,
+        module=module,
+        parametrization=config.ddpm.parametrization,
+        tau_scale=float(n_train - 1),
+    )
 
 
 def load_pretrained_unet(ddpm: UNetDDPM, config: Config) -> UNetDDPM:

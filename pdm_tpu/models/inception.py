@@ -55,11 +55,14 @@ class ConvBN(nn.Module):
         return nn.relu(x)
 
 
-def _avg_pool_3x3_same(x: Array) -> Array:
-    """3x3 stride-1 avg pool, count_include_pad=True (torch default used by
-    torchvision InceptionA/C/E)."""
+def _avg_pool_3x3_same(x: Array, *, fid_variant: bool = True) -> Array:
+    """3x3 stride-1 avg pool. The FID-standard network (pytorch-fid /
+    torchmetrics FIDInceptionA/C/E) uses count_include_pad=FALSE here —
+    one of the three deliberate deviations from torchvision that make FID
+    numbers comparable across implementations; torchvision's plain
+    inception_v3 uses count_include_pad=True."""
     return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)],
-                       count_include_pad=True)
+                       count_include_pad=not fid_variant)
 
 
 def _max_pool_3x3_2(x: Array) -> Array:
@@ -68,6 +71,7 @@ def _max_pool_3x3_2(x: Array) -> Array:
 
 class InceptionA(nn.Module):
     pool_features: int
+    fid_variant: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -77,7 +81,7 @@ class InceptionA(nn.Module):
         b3 = ConvBN(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = ConvBN(96, (3, 3), padding=1, name="branch3x3dbl_2")(b3)
         b3 = ConvBN(96, (3, 3), padding=1, name="branch3x3dbl_3")(b3)
-        bp = _avg_pool_3x3_same(x)
+        bp = _avg_pool_3x3_same(x, fid_variant=self.fid_variant)
         bp = ConvBN(self.pool_features, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -95,6 +99,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    fid_variant: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -108,7 +113,7 @@ class InceptionC(nn.Module):
         bd = ConvBN(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
         bd = ConvBN(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
         bd = ConvBN(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
-        bp = _avg_pool_3x3_same(x)
+        bp = _avg_pool_3x3_same(x, fid_variant=self.fid_variant)
         bp = ConvBN(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -127,6 +132,11 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    # FID-standard Mixed_7c (FIDInceptionE_2) pools with a stride-1 MAX
+    # pool in the pool branch; Mixed_7b and torchvision use avg
+    pool_mode: str = "avg"
+    fid_variant: bool = True
+
     @nn.compact
     def __call__(self, x):
         b1 = ConvBN(320, (1, 1), name="branch1x1")(x)
@@ -139,15 +149,28 @@ class InceptionE(nn.Module):
         bda = ConvBN(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd)
         bdb = ConvBN(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = _avg_pool_3x3_same(x)
+        if self.pool_mode == "max":
+            bp = nn.max_pool(
+                x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)]
+            )
+        else:
+            bp = _avg_pool_3x3_same(x, fid_variant=self.fid_variant)
         bp = ConvBN(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionV3Features(nn.Module):
-    """(B, C, H, W) in [-1, 1] -> (B, 2048) pool features."""
+    """(B, C, H, W) in [-1, 1] -> (B, 2048) pool features.
+
+    ``fid_variant=True`` (default) reproduces the FID-standard network
+    torchmetrics/pytorch-fid evaluate with (count_include_pad=False avg
+    pools in A/C/E and a max-pool pool-branch in Mixed_7c); set False for
+    plain torchvision inception_v3 semantics (e.g. when converting
+    torchvision-trained weights for non-FID use).
+    """
 
     resize_input: bool = True
+    fid_variant: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -168,17 +191,17 @@ class InceptionV3Features(nn.Module):
         x = ConvBN(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = ConvBN(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = _max_pool_3x3_2(x)
-        x = InceptionA(pool_features=32, name="Mixed_5b")(x)
-        x = InceptionA(pool_features=64, name="Mixed_5c")(x)
-        x = InceptionA(pool_features=64, name="Mixed_5d")(x)
+        x = InceptionA(pool_features=32, fid_variant=self.fid_variant, name="Mixed_5b")(x)
+        x = InceptionA(pool_features=64, fid_variant=self.fid_variant, name="Mixed_5c")(x)
+        x = InceptionA(pool_features=64, fid_variant=self.fid_variant, name="Mixed_5d")(x)
         x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(channels_7x7=128, name="Mixed_6b")(x)
-        x = InceptionC(channels_7x7=160, name="Mixed_6c")(x)
-        x = InceptionC(channels_7x7=160, name="Mixed_6d")(x)
-        x = InceptionC(channels_7x7=192, name="Mixed_6e")(x)
+        x = InceptionC(channels_7x7=128, fid_variant=self.fid_variant, name="Mixed_6b")(x)
+        x = InceptionC(channels_7x7=160, fid_variant=self.fid_variant, name="Mixed_6c")(x)
+        x = InceptionC(channels_7x7=160, fid_variant=self.fid_variant, name="Mixed_6d")(x)
+        x = InceptionC(channels_7x7=192, fid_variant=self.fid_variant, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(fid_variant=self.fid_variant, name="Mixed_7b")(x)
+        x = InceptionE(pool_mode="max" if self.fid_variant else "avg", fid_variant=self.fid_variant, name="Mixed_7c")(x)
         return jnp.mean(x, axis=(1, 2))  # global average pool -> 2048
 
 

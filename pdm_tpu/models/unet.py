@@ -311,15 +311,49 @@ class UNet2D(nn.Module):
         return h.astype(jnp.float32)
 
 
+# diffusers config.json carries metadata/keys with no counterpart in this
+# architecture; everything NOT here and not consumed below is an error
+# (silently dropping an unknown key would build a different network than
+# the config describes)
+_IGNORED_UNET_KEYS = {
+    "_class_name", "_diffusers_version", "in_channels", "out_channels",
+    "sample_size", "act_fn", "center_input_sample", "time_embedding_type",
+    "attn_norm_num_groups", "class_embed_type", "num_class_embeds",
+    "num_train_timesteps", "resnet_time_scale_shift", "mid_block_scale_factor",
+}
+
+_KNOWN_UNET_KEYS = {
+    "block_out_channels", "down_block_types", "up_block_types",
+    "layers_per_block", "attention_head_dim", "dropout", "norm_eps",
+    "freq_shift", "flip_sin_to_cos", "downsample_padding",
+    "norm_groups", "norm_num_groups", "add_mid_attention", "add_attention",
+}
+
+
 def unet_from_config(
     image_channels: int,
     unet_config: Optional[Dict[str, Any]] = None,
     dtype: Any = jnp.float32,
 ) -> UNet2D:
     """Build a UNet2D from a reference-style unet_config dict
-    (config/groups/ddpm.yaml keys)."""
+    (config/groups/ddpm.yaml keys) or a diffusers UNet2DModel config.json
+    dict (norm_num_groups / add_attention spellings accepted)."""
     cfg = dict(unet_config or {})
+    unknown = set(cfg) - _KNOWN_UNET_KEYS - _IGNORED_UNET_KEYS
+    if unknown:
+        raise ValueError(
+            f"unet_config keys with no effect on this architecture: "
+            f"{sorted(unknown)} (known: {sorted(_KNOWN_UNET_KEYS)})"
+        )
+    norm_groups = int(
+        cfg.get("norm_groups", cfg.get("norm_num_groups", 32))
+    )
+    add_mid_attention = bool(
+        cfg.get("add_mid_attention", cfg.get("add_attention", True))
+    )
     return UNet2D(
+        norm_groups=norm_groups,
+        add_mid_attention=add_mid_attention,
         in_channels=image_channels,
         out_channels=image_channels,
         block_out_channels=tuple(cfg.get("block_out_channels", (128, 256, 256, 256))),
@@ -336,7 +370,14 @@ def unet_from_config(
             )
         ),
         layers_per_block=int(cfg.get("layers_per_block", 3)),
-        attention_head_dim=int(cfg.get("attention_head_dim", 64)),
+        # diffusers semantics: attention_head_dim null => ONE head per
+        # attention (old AttentionBlock default); a huge head_dim makes
+        # heads = max(1, C // head_dim) = 1 at every width
+        attention_head_dim=(
+            1 << 30
+            if cfg.get("attention_head_dim", 64) is None
+            else int(cfg.get("attention_head_dim", 64))
+        ),
         dropout=float(cfg.get("dropout", 0.2)),
         norm_eps=float(cfg.get("norm_eps", 1e-6)),
         freq_shift=float(cfg.get("freq_shift", 1.0)),

@@ -32,9 +32,18 @@ class UNetDDPM(DDPM):
     parametrization: str = dataclasses.field(
         default="eps", metadata=dict(static=True)
     )
+    # timestep-input scale: natively-trained UNets take tau in [0, 1];
+    # imported diffusers checkpoints were trained on integer timesteps
+    # 0..N-1, so the importer sets N-1 here (the reference rescales tau by
+    # timesteps.max() the same way, diffusers_model.py:12-16)
+    tau_scale: float = dataclasses.field(
+        default=1.0, metadata=dict(static=True)
+    )
 
     def forward(self, xt: Array, tau: Array) -> Array:
         tau = jnp.broadcast_to(jnp.asarray(tau), (xt.shape[0],))
+        if self.tau_scale != 1.0:
+            tau = tau * self.tau_scale
         x_nhwc = jnp.transpose(xt, (0, 2, 3, 1))
         out = self.module.apply(
             {"params": self.params}, x_nhwc, tau, deterministic=True

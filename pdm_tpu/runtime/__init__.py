@@ -68,21 +68,30 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 return None
             try:
                 lib = ctypes.CDLL(_LIB_PATH)
-            except OSError:
+                lib.pdm_version  # re-probe the rebuilt binary too
+            except (OSError, AttributeError):
                 _build_failed = True
                 return None
-        lib.pdm_normalize_u8_hwc_to_f32_chw.argtypes = [
-            _u8p, _f32p, _i64, _i64, _i64, _i64
-        ]
-        lib.pdm_resize_bilinear_u8.argtypes = [
-            _u8p, _u8p, _i64, _i64, _i64, _i64, _i64, _i64
-        ]
-        lib.pdm_gather_rows_f32.argtypes = [_f32p, _i64p, _f32p, _i64, _i64]
-        lib.pdm_gather_rows_u8_to_f32.argtypes = [_u8p, _i64p, _f32p, _i64, _i64]
-        lib.pdm_stream_mean.argtypes = [
-            _f32p, _i64, _i64, _f64p, ctypes.POINTER(_i64)
-        ]
-        lib.pdm_version.restype = _i64
+        try:
+            lib.pdm_normalize_u8_hwc_to_f32_chw.argtypes = [
+                _u8p, _f32p, _i64, _i64, _i64, _i64
+            ]
+            lib.pdm_resize_bilinear_u8.argtypes = [
+                _u8p, _u8p, _i64, _i64, _i64, _i64, _i64, _i64
+            ]
+            lib.pdm_gather_rows_f32.argtypes = [_f32p, _i64p, _f32p, _i64, _i64]
+            lib.pdm_gather_rows_u8_to_f32.argtypes = [
+                _u8p, _i64p, _f32p, _i64, _i64
+            ]
+            lib.pdm_stream_mean.argtypes = [
+                _f32p, _i64, _i64, _f64p, ctypes.POINTER(_i64)
+            ]
+            lib.pdm_version.restype = _i64
+        except AttributeError:
+            # binary from an older source revision missing a symbol:
+            # degrade to the numpy fallback instead of crashing at use time
+            _build_failed = True
+            return None
         _lib = lib
         return _lib
 
@@ -147,6 +156,11 @@ def gather_rows(data: np.ndarray, idx: np.ndarray, out: Optional[np.ndarray] = N
     lib = get_lib()
     if out is None:
         out = np.empty((rows, row_elems), np.float32)
+    elif out.size != rows * row_elems:
+        raise ValueError(
+            f"gather_rows: out has {out.size} elements, need "
+            f"{rows}*{row_elems} (the native kernel writes exactly that)"
+        )
     if lib is not None and flat.flags["C_CONTIGUOUS"]:
         if flat.dtype == np.float32:
             lib.pdm_gather_rows_f32(flat, idx, out, rows, row_elems)

@@ -96,8 +96,17 @@ def load_hf_images(
                 labels[i] = row["label"]
         raw = runtime.resize_bilinear_u8(raw, *image_size)
         return runtime.normalize_u8_to_chw_f32(raw), labels
-    except Exception:
-        pass  # ragged sizes or no toolchain: per-image python path
+    except Exception as e:
+        # ragged sizes or no toolchain: per-image python path. Surface the
+        # reason — the PIL fallback has (slightly) different resize
+        # numerics, so a silently-swallowed native defect would make the
+        # training set depend on which path happened to run.
+        import warnings
+
+        warnings.warn(
+            f"native ingest fast path unavailable ({type(e).__name__}: {e});"
+            f" falling back to per-image python ingest", stacklevel=2,
+        )
 
     imgs = np.empty((n, channels, *image_size), np.float32)
     for i in range(n):
@@ -209,7 +218,13 @@ class HostResidentData:
         return self.shape[0]
 
     def gather(self, idx: np.ndarray) -> np.ndarray:
-        out = self._runtime.gather_rows(self.data, idx, self._staging)
+        # slice the staging buffer for partial batches (e.g. a final
+        # remainder); oversize requests get a fresh buffer
+        if len(idx) <= self.batch_size:
+            staging = self._staging[: len(idx)]
+        else:
+            staging = None
+        out = self._runtime.gather_rows(self.data, idx, staging)
         return out.reshape(len(idx), *self.shape[1:])
 
     def device_batch(self, idx: np.ndarray) -> Array:

@@ -124,7 +124,15 @@ def inception_feature_fn() -> Tuple[Callable[[Array], Array], int]:
 
     @jax.jit
     def fn(x: Array) -> Array:
-        return model.apply({"params": params}, x)
+        # reference protocol: samples round-trip through uint8 BEFORE the
+        # feature extractor (reference utils/fid.py:28 inception(to_uint8(x));
+        # to_uint8 truncates, torchmetrics rescales k -> 2k/255 - 1).
+        # Quantize identically on-device so generated floats and stored
+        # uint8 data see the same inputs.
+        k = jnp.clip(
+            jnp.floor((jnp.clip(x, -1.0, 1.0) + 1.0) * 127.5), 0.0, 255.0
+        )
+        return model.apply({"params": params}, k * (2.0 / 255.0) - 1.0)
 
     return fn, 2048
 

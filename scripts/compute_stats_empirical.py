@@ -26,8 +26,12 @@ def main(config: Config) -> None:
         config.dataset_name = dataset_name
         data = get_data_tensor(config)
         ddpm = ddpm_from_config(config, pretrained=True)
-        temp = temp_grid(config.diffusion.min_temp, config.diffusion.max_temp,
-                         config.empirical_stats.n_temps)
+        es = config.empirical_stats
+        temp = temp_grid(
+            es.min_temp if es.min_temp is not None else config.diffusion.min_temp,
+            es.max_temp if es.max_temp is not None else config.diffusion.max_temp,
+            es.n_temps,
+        )
         out = empirical_entropy_stats(
             jax.random.PRNGKey(0), ddpm, data, temp,
             n_samples=config.empirical_stats.batch_size

@@ -1,5 +1,13 @@
-"""Convert a torchvision/FID InceptionV3 torch checkpoint to the flax npz
-used by pdm_tpu.utils.fid (offline weight-porting utility)."""
+"""Convert an InceptionV3 torch checkpoint to the flax npz used by
+pdm_tpu.utils.fid (offline weight-porting utility).
+
+For FID parity with the reference (torchmetrics / pytorch-fid), convert
+the FID-standard weights file ``pt_inception-2015-12-05-*.pth`` — the
+network built by pdm_tpu.models.inception defaults to that variant's
+pooling semantics (fid_variant=True). Plain torchvision inception_v3
+weights also convert (same parameter names) but correspond to
+fid_variant=False and produce features NOT comparable to reference FID
+numbers."""
 import argparse
 
 from _common import setup_jax

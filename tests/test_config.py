@@ -128,3 +128,30 @@ def test_data_generator_and_uint8():
     assert b1.shape == (4, 4) and b2.shape == (4, 4)
     u = to_uint8(np.array([-1.0, 0.0, 1.0]))
     np.testing.assert_array_equal(u, [0, 127, 255])
+
+
+def test_cli_types_from_annotations():
+    """CLI arg types come from the pydantic ANNOTATIONS, not the current
+    values: Optional[int] fields parse as int even when None, and
+    list-typed flags YAML-parse even when their default is None."""
+    from pdm_tpu.config.loader import (
+        load_config, parse_args_from_config, update_config_from_args,
+    )
+
+    cfg = load_config()
+    args = parse_args_from_config(
+        cfg,
+        [
+            "--parallel.data_axis", "4",
+            "--fid.noise_schedule_path", "[a.npz, b.npz]",
+            "--empirical_stats.min_temp", "1e-3",
+        ],
+    )
+    update_config_from_args(cfg, args)
+    assert cfg.parallel.data_axis == 4 and isinstance(
+        cfg.parallel.data_axis, int
+    )
+    assert cfg.fid.noise_schedule_path == ["a.npz", "b.npz"]
+    assert cfg.empirical_stats.min_temp == 1e-3 and isinstance(
+        cfg.empirical_stats.min_temp, float
+    )

@@ -106,3 +106,99 @@ def test_converted_values_transpose():
     np.testing.assert_array_equal(
         k, np.transpose(sd["conv_in.weight"], (2, 3, 1, 0))
     )
+
+
+def test_legacy_attention_block_names_migrate():
+    """Real google/ddpm-* checkpoints use the deprecated AttentionBlock
+    leaf names (query/key/value/proj_attn); the converter must migrate
+    them to to_q/to_k/to_v/to_out."""
+    sd = {
+        "mid_block.attentions.0.query.weight": np.zeros((8, 8), np.float32),
+        "mid_block.attentions.0.query.bias": np.zeros((8,), np.float32),
+        "mid_block.attentions.0.key.weight": np.zeros((8, 8), np.float32),
+        "mid_block.attentions.0.key.bias": np.zeros((8,), np.float32),
+        "mid_block.attentions.0.value.weight": np.zeros((8, 8), np.float32),
+        "mid_block.attentions.0.value.bias": np.zeros((8,), np.float32),
+        "mid_block.attentions.0.proj_attn.weight": np.zeros((8, 8), np.float32),
+        "mid_block.attentions.0.proj_attn.bias": np.zeros((8,), np.float32),
+        "mid_block.attentions.0.group_norm.weight": np.zeros((8,), np.float32),
+        "mid_block.attentions.0.group_norm.bias": np.zeros((8,), np.float32),
+    }
+    tree = convert_unet_state_dict(sd)
+    attn = tree["mid_attn"]
+    assert set(attn) == {"to_q", "to_k", "to_v", "to_out", "group_norm"}
+    assert set(attn["to_q"]) == {"kernel", "bias"}
+
+
+def test_unet_from_config_unknown_key_and_diffusers_spellings():
+    import pytest
+
+    with pytest.raises(ValueError, match="no effect"):
+        unet_from_config(3, {"block_out_chanels": [8, 16]})  # typo
+
+    # diffusers config.json spellings are honored, metadata ignored
+    net = unet_from_config(1, {
+        "_class_name": "UNet2DModel",
+        "block_out_channels": [8, 16],
+        "down_block_types": ["DownBlock2D", "AttnDownBlock2D"],
+        "up_block_types": ["AttnUpBlock2D", "UpBlock2D"],
+        "layers_per_block": 1,
+        "norm_num_groups": 4,
+        "add_attention": False,
+        "attention_head_dim": None,
+        "sample_size": 16,
+    })
+    assert net.norm_groups == 4
+    assert net.add_mid_attention is False
+    assert net.attention_head_dim >= 1 << 30  # null => single head
+
+
+def test_diffusers_ddpm_from_config_local_dir(tmp_path):
+    """model_name=diffusers loads a local checkpoint dir (config.json +
+    torch .bin), converts, and rescales tau by num_train_timesteps-1."""
+    torch = __import__("pytest").importorskip("torch")
+    import json
+
+    from pdm_tpu.config.loader import load_config
+    from pdm_tpu.models.from_config import ddpm_from_config
+
+    dcfg = {
+        "_class_name": "UNet2DModel",
+        "block_out_channels": [8, 16],
+        "down_block_types": ["DownBlock2D", "AttnDownBlock2D"],
+        "up_block_types": ["AttnUpBlock2D", "UpBlock2D"],
+        "layers_per_block": 1,
+        "attention_head_dim": 8,
+        "norm_num_groups": 4,
+        "freq_shift": 1,
+        "flip_sin_to_cos": False,
+        "downsample_padding": 0,
+        "num_train_timesteps": 1000,
+    }
+    net = unet_from_config(1, dcfg, dtype=jnp.float32)
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,))
+    )["params"]
+    # synthesize the torch checkpoint for this architecture
+    sd = synthesize_torch_sd(params)
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    with open(ckpt / "config.json", "w") as f:
+        json.dump(dcfg, f)
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+        ckpt / "diffusion_pytorch_model.bin",
+    )
+
+    cfg = load_config()
+    cfg.dataset_name = "mnist"
+    cfg.ddpm.model_name = "diffusers"
+    cfg.ddpm.precision = "f32"
+    cfg.ddpm.diffusers_path = str(ckpt)
+    ddpm = ddpm_from_config(cfg)
+    assert ddpm.tau_scale == 999.0
+    out = ddpm.get_predictions(
+        jnp.zeros((2, 1, 16, 16)), jnp.zeros((2,))
+    )
+    assert out.x0.shape == (2, 1, 16, 16)
+    assert bool(jnp.all(jnp.isfinite(out.x0)))
