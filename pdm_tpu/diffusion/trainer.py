@@ -232,13 +232,18 @@ class DDPMTrainer:
         """After a save is known complete, point latest.txt at it. Never
         publishes an in-flight save, so a crash mid-write can't leave the
         resume pointer at an unreadable checkpoint."""
-        step = getattr(self, "_pending_step", None)
-        if step is None:
-            return
-        latest = os.path.join(self.checkpoint_dir, "latest.txt")
-        with open(latest, "w") as f:
-            f.write(str(step))
-        self._pending_step = None
+        import threading
+
+        if not hasattr(self, "_pub_lock"):
+            self._pub_lock = threading.Lock()
+        with self._pub_lock:
+            step = getattr(self, "_pending_step", None)
+            if step is None:
+                return
+            latest = os.path.join(self.checkpoint_dir, "latest.txt")
+            with open(latest, "w") as f:
+                f.write(str(step))
+            self._pending_step = None
 
     def save_checkpoint(
         self, state: TrainState, step: int, block: bool = True
@@ -258,6 +263,23 @@ class DDPMTrainer:
         if block:
             ckptr.wait_until_finished()
             self._publish_pending()
+        else:
+            # publish as soon as THIS save completes rather than waiting
+            # for the next save to begin: without this, a crash loses up
+            # to TWO checkpoint cadences (a complete-but-unpublished save
+            # sits on disk while latest.txt points one further back) —
+            # observed in the round-2 endurance run when the device
+            # tunnel dropped mid-interval
+            import threading
+
+            def _bg():
+                try:
+                    ckptr.wait_until_finished()
+                    self._publish_pending()
+                except Exception:
+                    pass  # next save / finalize republishes
+
+            threading.Thread(target=_bg, daemon=True).start()
 
     def finalize_checkpoints(self) -> None:
         if hasattr(self, "_ckptr"):
