@@ -83,13 +83,40 @@ def test_sweep_pallas_bf16_3x_close():
     reason="real-TPU (non-interpret) sweep kernel parity needs a TPU",
 )
 def test_sweep_pallas_compiled_on_tpu():
-    x0, eps, y, temps, v = _case(64, 4096, 3072, 24, seed=5, values=True)
-    ref = boltzmann_sweep_xla(x0, eps, y, temps, values=v)
+    """Backend-gated: the COMPILED sweep kernel vs a float64 host oracle.
+    The on-TPU XLA sweep is NOT the truth side here — its fp32 matmuls
+    lower to bf16-based passes and its entropy errs up to ~0.7 nats at
+    these shapes (PARITY.md) — so the kernel is judged against float64
+    and additionally required to be no less accurate than XLA."""
+    B, N, D, nt = 64, 4096, 3072, 24
+    x0, eps, y, temps, v = _case(B, N, D, nt, seed=5, values=True)
+
+    x64 = np.asarray(x0, np.float64)
+    e64 = np.asarray(eps, np.float64)
+    y64 = np.asarray(y, np.float64)
+    t64 = np.asarray(temps, np.float64)
+    ent_64 = np.empty((nt, B))
+    for i, t in enumerate(t64):
+        xt = x64 + np.sqrt(t) * e64
+        h = 0.5 * (
+            (xt * xt).sum(1)[:, None]
+            - 2.0 * xt @ y64.T
+            + (y64 * y64).sum(1)[None, :]
+        )
+        g = -h / t
+        m = g.max(axis=1, keepdims=True)
+        w = np.exp(g - m)
+        z = w.sum(axis=1)
+        p = w / z[:, None]
+        log_z = m[:, 0] + np.log(z)
+        u_over_t = (p * (-g)).sum(axis=1)
+        ent_64[i] = log_z + u_over_t - np.log(N)
+
+    def ent_err(mom):
+        return np.abs(np.asarray(mom.entropy(N), np.float64) - ent_64).max()
+
+    xla_err = ent_err(boltzmann_sweep_xla(x0, eps, y, temps, values=v))
     got = boltzmann_sweep(x0, eps, y, temps, values=v)
-    np.testing.assert_allclose(
-        np.asarray(got.log_z), np.asarray(ref.log_z), rtol=1e-4, atol=1e-3
-    )
-    np.testing.assert_allclose(
-        np.asarray(got.entropy(4096)), np.asarray(ref.entropy(4096)),
-        rtol=1e-3, atol=1e-3,
-    )
+    kern_err = ent_err(got)
+    assert kern_err < 5e-3, f"kernel entropy err {kern_err} vs float64"
+    assert kern_err <= xla_err + 1e-3, (kern_err, xla_err)
