@@ -82,15 +82,25 @@ def _step_tables(log_temp: Array) -> Dict[str, Array]:
     alpha = ab / ab_prev
     beta = 1.0 - alpha
     omab = 1.0 - ab
+
+    def safe_sqrt(u):
+        # sqrt with a zero (not inf) gradient at u == 0. The final step
+        # has ab_prev == 1 exactly, so sqrt(1 - ab_prev) is sqrt(0) whose
+        # derivative is inf; inf * 0 cotangent = NaN, which poisons the
+        # schedule-optimization gradient (the double-where pattern keeps
+        # the backward off the singular branch).
+        pos = u > 0.0
+        return jnp.where(pos, jnp.sqrt(jnp.where(pos, u, 1.0)), 0.0)
+
     return {
         "log_temp": log_temp[::-1],
         "ab": ab,
         "ab_prev": ab_prev,
         "ddpm_x0": jnp.sqrt(ab_prev) * beta / omab,
         "ddpm_xt": jnp.sqrt(alpha) * (1.0 - ab_prev) / omab,
-        "ddpm_noise": jnp.sqrt(beta * (1.0 - ab_prev) / omab),
+        "ddpm_noise": safe_sqrt(beta * (1.0 - ab_prev) / omab),
         "ddim_x0": jnp.sqrt(ab_prev),
-        "ddim_eps": jnp.sqrt(1.0 - ab_prev),
+        "ddim_eps": safe_sqrt(1.0 - ab_prev),
     }
 
 
@@ -169,7 +179,8 @@ class DDPMSampler:
 @partial(
     jax.jit,
     static_argnames=(
-        "sample_shape", "step_type", "half", "track_states", "batch_sharding"
+        "sample_shape", "step_type", "half", "track_states",
+        "batch_sharding", "remat",
     ),
 )
 def _sample_scan(
@@ -181,6 +192,7 @@ def _sample_scan(
     half: bool,
     track_states: bool,
     batch_sharding=None,
+    remat: bool = False,
 ):
     tables = _step_tables(grid)
     key, init_key = jax.random.split(key)
@@ -209,6 +221,13 @@ def _sample_scan(
             eps = preds.eps.astype(jnp.float32)
             x_next = tab["ddim_x0"] * x0 + tab["ddim_eps"] * eps
         return x_next, (x_next if track_states else None)
+
+    if remat:
+        # differentiating THROUGH the scan (schedule optimization) would
+        # otherwise store every step's full UNet activations — 124 GB at
+        # 5 steps x bs=256 on the flagship model. Rematerialize per step:
+        # backward recomputes one forward at a time.
+        step = jax.checkpoint(step)
 
     n = grid.shape[0]
     x_final, states = jax.lax.scan(

@@ -16,7 +16,7 @@ value_and_grad per iteration.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,10 +37,20 @@ def sample_with_grid(
     key: jax.Array,
     sample_shape: Tuple[int, ...],
     step_type: str = "ddim",
+    remat: bool = False,
 ) -> Array:
-    """Reverse process on an explicit (differentiable) log-temp grid."""
+    """Reverse process on an explicit (differentiable) log-temp grid.
+
+    ``remat`` checkpoints each reverse step so the backward pass
+    recomputes one forward at a time instead of storing all of them —
+    REQUIRED for UNet-scale models (5 steps x bs=256 on the flagship
+    stores 124 GB otherwise). Keep it off for TrueDDPM: rematerializing
+    the streaming online-softmax posterior produces NaN gradients at
+    chunked dataset sizes (jax.checkpoint x lax.scan-accumulator
+    interaction), and the analytic model doesn't need the memory."""
     x, _ = _sample_scan(
-        ddpm, log_temp_grid, key, sample_shape, step_type, False, False
+        ddpm, log_temp_grid, key, sample_shape, step_type, False, False,
+        remat=remat,
     )
     return x
 
@@ -60,8 +70,15 @@ def optimize_schedule(
     key: Optional[jax.Array] = None,
     log_every: int = 100,
     verbose: bool = True,
+    feature_fn: Optional[Callable[[Array], Array]] = None,
+    remat: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Returns {"log_temp": optimized grid, "history": per-iter MMD}."""
+    """Returns {"log_temp": optimized grid, "history": per-iter MMD}.
+
+    ``feature_fn`` (optional, differentiable, e.g. a trained LeNet's
+    feature head) maps (B, *obj_size) -> (B, F) before the MMD — a
+    perceptual-space objective that aligns the optimization with FID far
+    better than raw-pixel MMD at image scale."""
     key = jax.random.PRNGKey(0) if key is None else key
     obj_size = tuple(train_data.shape[1:])
     data2d = train_data.reshape(train_data.shape[0], -1)
@@ -91,13 +108,17 @@ def optimize_schedule(
 
         def loss_fn(lt):
             gen = sample_with_grid(
-                ddpm, lt, k_sample, (batch_size, *obj_size), step_type
+                ddpm, lt, k_sample, (batch_size, *obj_size), step_type,
+                remat=remat,
             )
             idx = jax.random.randint(k_data, (batch_size,), 0, n)
             ref = data2d[idx]
-            return mmd_rbf(
-                gen.reshape(batch_size, -1), ref, sigmas=tuple(sigmas)
-            )
+            if feature_fn is not None:
+                gen2d = feature_fn(gen)
+                ref2d = feature_fn(ref.reshape(batch_size, *obj_size))
+            else:
+                gen2d, ref2d = gen.reshape(batch_size, -1), ref
+            return mmd_rbf(gen2d, ref2d, sigmas=tuple(sigmas))
 
         loss, grads = jax.value_and_grad(loss_fn)(log_temp)
         updates, opt_state = tx.update(grads, opt_state)

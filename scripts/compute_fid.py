@@ -29,6 +29,17 @@ def main(config: Config) -> None:
     paths = config.fid.noise_schedule_path or [None] * len(
         config.fid.noise_schedule_type
     )
+    if len(paths) != len(config.fid.noise_schedule_type):
+        raise ValueError(
+            f"fid.noise_schedule_path has {len(paths)} entries for "
+            f"{len(config.fid.noise_schedule_type)} schedule types — a "
+            f"shorter list would silently drop sweep rows; pad with null"
+        )
+    # snapshot ONCE: build_sampler mutates config (entropy min_temp etc.),
+    # which would otherwise move experiment_name/fid_results_path between
+    # iterations and split the table across two CSVs
+    results_path = config.fid_results_path
+    n_fid = config.dataset_config.fid_samples
     for n_steps, (schedule, path), min_temp in product(
         config.fid.n_steps,
         zip(config.fid.noise_schedule_type, paths),
@@ -37,19 +48,20 @@ def main(config: Config) -> None:
         config.sample.n_steps = n_steps
         config.sample.noise_schedule_type = schedule
         config.sample.noise_schedule_path = path
-        config.sample.n_samples = config.dataset_config.fid_samples
+        config.sample.n_samples = n_fid
         if config.fid.sample:
             sampler = build_sampler(config, ddpm=ddpm, min_temp=min_temp)
             samples = sampler.sample()["x"]
         else:
-            # reuse previously saved samples (reference fid.sample=false)
-            samples = np.load(config.samples_path + ".npz")["x"]
+            # reuse previously saved samples (reference fid.sample=false,
+            # truncated to the FID protocol count like the reference)
+            samples = np.load(config.samples_path + ".npz")["x"][:n_fid]
         fid = compute_fid(jnp.asarray(samples))
         rows.append(dict(n_steps=n_steps, schedule=schedule,
                          min_temp=min_temp, fid=fid))
         print(rows[-1])
-        pd.DataFrame(rows).to_csv(config.fid_results_path, index=False)
-    print(f"saved {config.fid_results_path}")
+        pd.DataFrame(rows).to_csv(results_path, index=False)
+    print(f"saved {results_path}")
 
 
 if __name__ == "__main__":

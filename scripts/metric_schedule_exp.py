@@ -32,16 +32,34 @@ def main() -> None:
     compute_fid = get_compute_fid(data, feature_fn, fdim)
     ddpm = ddpm_from_config(config, pretrained=True)
 
+    import os
+
+    if not os.path.exists(config.metric_stats_path):
+        # reference cifar10_metric_exp.py computes the metric stats itself
+        # when the artifact is absent — keep that UX rather than crashing
+        print(f"{config.metric_stats_path} missing; computing metric stats")
+        from _common import temp_grid
+        from pdm_tpu.stats.sweep import metric_stats
+
+        temps = temp_grid(*config.dataset_config.temp_range, 100)
+        stats = metric_stats(
+            jax.random.PRNGKey(1), data, temps, n_samples=512,
+            batch_size=512, regularize=True,
+        )
+        np.savez(config.metric_stats_path, **stats)
+
     schedulers = {
         "linear_beta": LinearBetaScheduler(*config.diffusion.temp_range),
         "cosine": CosineScheduler(*config.diffusion.temp_range),
         "metric": metric_scheduler_from_npz(config.metric_stats_path),
     }
     for name, sched in schedulers.items():
+        # DDIM steps: the reference experiment (cifar10_metric_exp.py)
+        # measures its FID table with step_type="ddim"
         sampler = DDPMSampler(
             ddpm=ddpm, scheduler=sched, n_steps=args.n_steps,
             obj_size=config.dataset_config.obj_size,
-            batch_size=500, n_samples=args.n_samples, step_type="ddpm",
+            batch_size=500, n_samples=args.n_samples, step_type="ddim",
         )
         samples = sampler.sample(jax.random.PRNGKey(0))["x"]
         fid = compute_fid(jnp.asarray(samples))

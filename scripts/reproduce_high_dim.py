@@ -60,9 +60,13 @@ def main() -> None:
     from pdm_tpu.stats.sweep import thermo_sweep
     from pdm_tpu.utils.synthetic import generate_anisotropic_gmm
 
+    # reference scale (config/high_dim_exp.yaml): melt to max_temp=1e4 —
+    # for 100-D N(0,I)-separated modes, T=1e2 is NOT yet melted
+    # (sqrt(ab)*|mu_i-mu_j| ~ 1.4), so the reverse process would start
+    # from the wrong marginal and bias mode occupancy
     dim, n_comp = 100, 5
-    n_train, n_gen = 50_000, 2_000
-    min_temp, max_temp = 1e-4, 1e2
+    n_train, n_gen = 50_000, 10_000
+    min_temp, max_temp = 1e-4, 1e4
 
     print(f"Generating data (dim={dim}, components={n_comp}, n={n_train})...")
     train_data, true_means, true_covs = generate_anisotropic_gmm(
@@ -129,7 +133,7 @@ def main() -> None:
         print(f"Sampling with {name} schedule...")
         ddpm = TrueDDPM(scheduler=scheduler, train_data=data)
         out = get_samples(
-            ddpm, scheduler, n_steps=10, obj_size=(1, dim, 1),
+            ddpm, scheduler, n_steps=20, obj_size=(1, dim, 1),
             n_samples=n_gen, batch_size=min(n_gen, 1000), step_type="ddpm",
             key=jax.random.PRNGKey(1),
         )

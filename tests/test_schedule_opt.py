@@ -53,3 +53,34 @@ def test_optimize_schedule_improves_mmd():
     # must not regress; usually improves
     assert after <= before * 1.2, (before, after)
     assert len(out["history"]) == 30
+
+
+def test_ddpm_step_gradient_finite_through_final_step():
+    """The final reverse step has ab_prev == 1 exactly, so the noise
+    coefficient is sqrt(0); without the double-where safe sqrt the
+    backward emits inf * 0 = NaN into the lowest knot's gradient (only on
+    the ddpm path — ddim's sqrt(0) cotangent lands on a constant and is
+    discarded, which is why round-1's ddim-only runs never saw it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pdm_tpu.diffusion.schedule_opt import sample_with_grid
+    from pdm_tpu.models.base import TrueDDPM
+    from pdm_tpu.schedulers.analytic import LogSNRScheduler
+    from pdm_tpu.utils.synthetic import generate_gmm_1d
+
+    data = jnp.asarray(generate_gmm_1d(2000))
+    sched = LogSNRScheduler(1e-4, 1e1)
+    ddpm = TrueDDPM(scheduler=sched, train_data=data)
+    grid = jnp.linspace(np.log(1e-3), np.log(5.0), 5)
+
+    for step_type in ("ddpm", "ddim"):
+        def loss(lt):
+            x = sample_with_grid(
+                ddpm, lt, jax.random.PRNGKey(0), (64, 1, 1, 1), step_type
+            )
+            return jnp.mean(x**2)
+
+        g = jax.grad(loss)(grid)
+        assert bool(jnp.all(jnp.isfinite(g))), (step_type, g)
