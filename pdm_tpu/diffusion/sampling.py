@@ -25,6 +25,14 @@ reference's formulas.md "Sampling" section, expressed in x-space:
          c_n  = sqrt(beta (1 - ab_prev) / (1 - ab)),
          alpha = ab / ab_prev, beta = 1 - alpha
   DDIM:  x_prev = sqrt(ab_prev) x0_hat + sqrt(1 - ab_prev) eps_hat
+  HEUN:  second-order probability-flow step (EDM-style, beyond the
+         reference's two rules). In the temperature language the PF-ODE is
+         linear in z = x / sqrt(ab) with dz/dsigma = eps and sigma =
+         sqrt(T):   Euler predictor  z_p = z + (sig_prev - sig) eps_hat,
+         then trapezoid corrector with eps re-evaluated at
+         (z_p sqrt(ab_prev), log T_prev); the final step to sigma = 0
+         stays Euler (the standard practice — there is no valid second
+         eval at T = 0). 2 model evals per step except the last.
 """
 
 from __future__ import annotations
@@ -43,7 +51,7 @@ from ..core.temperature import alpha_bar_from_log_temp
 from ..models.base import DDPM
 from ..schedulers.base import Scheduler
 
-STEP_TYPES = ("ddpm", "ddim")
+STEP_TYPES = ("ddpm", "ddim", "heun")
 
 
 def discretize_schedule(
@@ -77,8 +85,16 @@ def _step_tables(log_temp: Array) -> Dict[str, Array]:
     """
     ab = alpha_bar_from_log_temp(log_temp)  # ascending in T
     ab_prev = jnp.concatenate([jnp.ones((1,), ab.dtype), ab[:-1]])
+    # Heun: sigma = sqrt(T) per level (sigma_prev = 0 at the clean state)
+    # and a SAFE previous-level log-temp for the corrector's second model
+    # eval (the final step is Euler, so its entry is just a placeholder
+    # that must stay finite)
+    sig = jnp.sqrt(jnp.exp(log_temp))
+    sig_prev = jnp.concatenate([jnp.zeros((1,), sig.dtype), sig[:-1]])
+    lt_prev_safe = jnp.concatenate([log_temp[:1], log_temp[:-1]])
     # reverse: step 0 of the scan is the highest temperature
     ab, ab_prev = ab[::-1], ab_prev[::-1]
+    sig, sig_prev, lt_prev_safe = sig[::-1], sig_prev[::-1], lt_prev_safe[::-1]
     alpha = ab / ab_prev
     beta = 1.0 - alpha
     omab = 1.0 - ab
@@ -101,6 +117,11 @@ def _step_tables(log_temp: Array) -> Dict[str, Array]:
         "ddpm_noise": safe_sqrt(beta * (1.0 - ab_prev) / omab),
         "ddim_x0": jnp.sqrt(ab_prev),
         "ddim_eps": safe_sqrt(1.0 - ab_prev),
+        "sqrt_ab": jnp.sqrt(ab),
+        "sqrt_ab_prev": jnp.sqrt(ab_prev),
+        "sig": sig,
+        "sig_prev": sig_prev,
+        "heun_lt_prev": lt_prev_safe,
     }
 
 
@@ -217,6 +238,22 @@ def _sample_scan(
                 + tab["ddpm_xt"] * xt
                 + tab["ddpm_noise"] * noise
             )
+        elif step_type == "heun":
+            # 2nd-order probability-flow step: z = x / sqrt(ab) makes the
+            # ODE dz/dsigma = eps (sigma = sqrt(T)); Euler predictor +
+            # trapezoid corrector, final step (sigma_prev = 0) Euler
+            eps1 = preds.eps.astype(jnp.float32)
+            z = xt / tab["sqrt_ab"]
+            dsig = tab["sig_prev"] - tab["sig"]
+            x_p = (z + dsig * eps1) * tab["sqrt_ab_prev"]
+            x_p_in = x_p.astype(jnp.bfloat16) if half else x_p
+            eps2 = ddpm.get_predictions(
+                x_p_in, tab["heun_lt_prev"]
+            ).eps.astype(jnp.float32)
+            eps_avg = jnp.where(
+                tab["sig_prev"] > 0.0, 0.5 * (eps1 + eps2), eps1
+            )
+            x_next = (z + dsig * eps_avg) * tab["sqrt_ab_prev"]
         else:
             eps = preds.eps.astype(jnp.float32)
             x_next = tab["ddim_x0"] * x0 + tab["ddim_eps"] * eps

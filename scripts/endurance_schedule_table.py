@@ -33,6 +33,8 @@ def main() -> None:
     parser.add_argument("--fid_samples", type=int, default=5_000)
     parser.add_argument("--steps", type=int, nargs="+",
                         default=[5, 10, 20, 50, 100])
+    parser.add_argument("--step_type", default="ddpm",
+                        choices=["ddpm", "ddim", "heun"])
     parser.add_argument("--out", default="endurance_schedule_table")
     args = parser.parse_args()
 
@@ -123,7 +125,7 @@ def main() -> None:
             sampler = DDPMSampler(
                 ddpm=ema_ddpm, scheduler=s, n_steps=n,
                 obj_size=(3, 32, 32), batch_size=500,
-                n_samples=args.fid_samples, step_type="ddpm",
+                n_samples=args.fid_samples, step_type=args.step_type,
                 precision="half",
             )
             t0 = time.time()
@@ -140,8 +142,8 @@ def main() -> None:
         json.dump(out, f, indent=1)
 
     lines = [
-        "# Endurance-checkpoint schedule-ordering FID (blob-32, "
-        f"step {step}, floor {floor:.3f})", "",
+        f"# Endurance-checkpoint schedule-ordering FID (blob-32, "
+        f"step {step}, {args.step_type} steps, floor {floor:.3f})", "",
         "| schedule | " + " | ".join(str(n) for n in args.steps) + " |",
         "|---|" + "---|" * len(args.steps),
     ]
