@@ -10,7 +10,7 @@ interoperate between the two stacks.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Literal, Any, Dict, List, Optional, Tuple
 
 from pydantic import BaseModel, Field
 
@@ -68,7 +68,9 @@ class DataAugmentationConfig(BaseModel):
 
 class SampleConfig(BaseModel):
     n_steps: int = Field(..., description="Sampling steps")
-    step_type: str = Field(..., description="Step rule (ddpm/ddim)")
+    step_type: Literal["ddpm", "ddim", "heun"] = Field(
+        ..., description="Step rule (ddpm/ddim/heun)"
+    )
     noise_schedule_type: str = Field(..., description="Sampling schedule type")
     noise_schedule_path: Optional[str] = Field(
         None, description="Path to custom schedule artifact"

@@ -89,7 +89,10 @@ def _step_tables(log_temp: Array) -> Dict[str, Array]:
     # and a SAFE previous-level log-temp for the corrector's second model
     # eval (the final step is Euler, so its entry is just a placeholder
     # that must stay finite)
-    sig = jnp.sqrt(jnp.exp(log_temp))
+    # exp(log T / 2), NOT sqrt(exp(log T)): exact, underflow-graceful, and
+    # finite-derivative everywhere (sqrt'(0) = inf would NaN the
+    # schedule-opt gradient if a knot drifts very negative)
+    sig = jnp.exp(0.5 * log_temp)
     sig_prev = jnp.concatenate([jnp.zeros((1,), sig.dtype), sig[:-1]])
     lt_prev_safe = jnp.concatenate([log_temp[:1], log_temp[:-1]])
     # reverse: step 0 of the scan is the highest temperature
@@ -241,7 +244,9 @@ def _sample_scan(
         elif step_type == "heun":
             # 2nd-order probability-flow step: z = x / sqrt(ab) makes the
             # ODE dz/dsigma = eps (sigma = sqrt(T)); Euler predictor +
-            # trapezoid corrector, final step (sigma_prev = 0) Euler
+            # trapezoid corrector. The final step to sigma = 0 is PEELED
+            # out of the scan (see below), so every step here has a real
+            # lower level to re-evaluate at.
             eps1 = preds.eps.astype(jnp.float32)
             z = xt / tab["sqrt_ab"]
             dsig = tab["sig_prev"] - tab["sig"]
@@ -250,10 +255,7 @@ def _sample_scan(
             eps2 = ddpm.get_predictions(
                 x_p_in, tab["heun_lt_prev"]
             ).eps.astype(jnp.float32)
-            eps_avg = jnp.where(
-                tab["sig_prev"] > 0.0, 0.5 * (eps1 + eps2), eps1
-            )
-            x_next = (z + dsig * eps_avg) * tab["sqrt_ab_prev"]
+            x_next = (z + dsig * 0.5 * (eps1 + eps2)) * tab["sqrt_ab_prev"]
         else:
             eps = preds.eps.astype(jnp.float32)
             x_next = tab["ddim_x0"] * x0 + tab["ddim_eps"] * eps
@@ -267,9 +269,27 @@ def _sample_scan(
         step = jax.checkpoint(step)
 
     n = grid.shape[0]
-    x_final, states = jax.lax.scan(
-        step, xt, (jnp.arange(n), tables)
-    )
+    if step_type == "heun":
+        # peel the statically-known final Euler step (to sigma = 0 it
+        # collapses to x0_hat) out of the scan: keeps the corrector's
+        # second eval well-defined at every scanned step AND avoids a
+        # dead masked UNet forward on the last iteration — real cost is
+        # 2n-1 NFE, not 2n
+        scan_tabs = jax.tree_util.tree_map(lambda t: t[:-1], tables)
+        x_low, states = jax.lax.scan(
+            step, xt, (jnp.arange(n - 1), scan_tabs)
+        )
+        x_in = x_low.astype(jnp.bfloat16) if half else x_low
+        x_final = (
+            ddpm.get_predictions(x_in, tables["log_temp"][-1])
+            .x0.astype(jnp.float32)
+        )
+        if track_states:
+            states = jnp.concatenate([states, x_final[None]], axis=0)
+    else:
+        x_final, states = jax.lax.scan(
+            step, xt, (jnp.arange(n), tables)
+        )
     if track_states:
         # reference stacks states low-T -> high-T (states[::-1]); our scan
         # emits high-T -> low-T, so flip the leading axis to match.

@@ -35,8 +35,12 @@ def main() -> None:
                         default=[5, 10, 20, 50, 100])
     parser.add_argument("--step_type", default="ddpm",
                         choices=["ddpm", "ddim", "heun"])
-    parser.add_argument("--out", default="endurance_schedule_table")
+    parser.add_argument("--out", default=None)
     args = parser.parse_args()
+    if args.out is None:
+        # never silently overwrite the ddpm baseline with another rule's run
+        suffix = "" if args.step_type == "ddpm" else f"_{args.step_type}"
+        args.out = "endurance_schedule_table" + suffix
 
     setup_jax()
     import jax

@@ -125,13 +125,28 @@ def test_half_precision_path_runs():
     data = gmm_data(5_000)
     sched = LogSNRScheduler(1e-4, 1e1)
     ddpm = TrueDDPM(scheduler=sched, train_data=jnp.asarray(data))
+    for step_type in ("ddpm", "heun"):  # heun: bf16 x_p recast + peeled
+        out = get_samples(
+            ddpm, sched, n_steps=10, obj_size=(1, 1, 1), n_samples=128,
+            batch_size=128, step_type=step_type, precision="half",
+            key=jax.random.PRNGKey(6),
+        )
+        assert np.all(np.isfinite(out["x"])), step_type
+        assert np.abs(out["x"]).max() < 2.0, step_type
+
+
+def test_heun_track_states_shapes():
+    data = gmm_data(2_000)
+    sched = LogSNRScheduler(1e-4, 1e1)
+    ddpm = TrueDDPM(scheduler=sched, train_data=jnp.asarray(data))
     out = get_samples(
-        ddpm, sched, n_steps=10, obj_size=(1, 1, 1), n_samples=128,
-        batch_size=128, step_type="ddpm", precision="half",
-        key=jax.random.PRNGKey(6),
+        ddpm, sched, n_steps=6, obj_size=(1, 1, 1), n_samples=32,
+        batch_size=32, step_type="heun", track_states=True,
+        key=jax.random.PRNGKey(7),
     )
-    assert np.all(np.isfinite(out["x"]))
-    assert np.abs(out["x"]).max() < 2.0
+    # one state per level incl. the peeled final Euler step
+    assert out["states"].shape[0] == 6
+    assert np.all(np.isfinite(out["states"]))
 
 
 def test_heun_second_order_against_exact_pf_ode():
@@ -196,8 +211,9 @@ def test_heun_second_order_against_exact_pf_ode():
 
     # measured: ddim 0.388/0.191/0.095 at n=10/20/40 (exactly 1st order),
     # heun 0.150/0.031/0.0071 (exactly 2nd, ratios ~4.4)
+    e_heun = {n: run(n, "heun") for n in (20, 40)}
     for n in (20, 40):
-        e_ddim, e_heun = run(n, "ddim"), run(n, "heun")
-        assert e_heun < 0.25 * e_ddim, (n, e_heun, e_ddim)
+        e_ddim = run(n, "ddim")
+        assert e_heun[n] < 0.25 * e_ddim, (n, e_heun[n], e_ddim)
     # ~2nd order: doubling the levels cuts the heun error ~4x (allow 3x)
-    assert run(40, "heun") < run(20, "heun") / 3.0
+    assert e_heun[40] < e_heun[20] / 3.0

@@ -75,7 +75,7 @@ def test_ddpm_step_gradient_finite_through_final_step():
     ddpm = TrueDDPM(scheduler=sched, train_data=data)
     grid = jnp.linspace(np.log(1e-3), np.log(5.0), 5)
 
-    for step_type in ("ddpm", "ddim"):
+    for step_type in ("ddpm", "ddim", "heun"):
         def loss(lt):
             x = sample_with_grid(
                 ddpm, lt, jax.random.PRNGKey(0), (64, 1, 1, 1), step_type
