@@ -52,12 +52,26 @@ def _flatten_with_annotations(model: BaseModel, parent_key: str = ""):
 
 
 def _cli_kind(annotation: Any) -> Any:
-    """'bool', a scalar type, or 'yaml' (parse the flag via yaml.safe_load)."""
+    """'bool', a scalar type, or 'yaml' (parse the flag via yaml.safe_load).
+
+    Handles both typing.Optional[X] and PEP 604 ``X | None`` (which has
+    origin types.UnionType, not typing.Union), and maps Literal[...] of a
+    uniform scalar type to that type — falling through to yaml would let
+    YAML 1.1 coercion mangle string values ('no' -> False, 'on' -> True)."""
+    import types as _types
+
     origin = typing.get_origin(annotation)
-    if origin is typing.Union:
+    if origin is typing.Union or origin is getattr(_types, "UnionType", ()):
         args = [a for a in typing.get_args(annotation) if a is not type(None)]
         if len(args) == 1:
             return _cli_kind(args[0])
+        return "yaml"
+    if origin is typing.Literal:
+        value_types = {type(v) for v in typing.get_args(annotation)}
+        if value_types == {str}:
+            return str
+        if len(value_types) == 1:
+            return _cli_kind(value_types.pop())
         return "yaml"
     if annotation is bool:
         return "bool"

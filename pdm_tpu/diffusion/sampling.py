@@ -53,6 +53,15 @@ from ..schedulers.base import Scheduler
 
 STEP_TYPES = ("ddpm", "ddim", "heun")
 
+# Stability envelope for the deterministic 2nd-order PF-ODE solver.
+# Measured on the endurance checkpoint (scripts/endurance_heun_table.md):
+# heun @ max T = 1e2 (sigma = 10) is the best few-NFE solver (FID 0.31 at
+# 5 steps), but schedules whose top knot reaches T ~ 2.5e4 (sigma ~ 158,
+# the cosine/entropy dataset temp_range) diverge catastrophically
+# (FID 1e4-2e5) — ODE steps amplify what stochastic DDPM steps contract.
+# Above this threshold the sampler warns at construction.
+HEUN_VALIDATED_MAX_TEMP = 4.0e2
+
 
 def discretize_schedule(
     scheduler: Scheduler,
@@ -151,6 +160,24 @@ class DDPMSampler:
 
     def __post_init__(self):
         assert self.step_type in STEP_TYPES, self.step_type
+        if self.step_type == "heun":
+            # fence the measured schedule-geometry footgun (see
+            # HEUN_VALIDATED_MAX_TEMP): warn loudly instead of silently
+            # producing a diverged ODE trajectory
+            import warnings
+
+            max_t = float(jnp.exp(jnp.max(self._grid())))
+            if max_t > HEUN_VALIDATED_MAX_TEMP:
+                warnings.warn(
+                    f"step_type='heun' with max schedule temperature "
+                    f"{max_t:.3g} > validated envelope "
+                    f"{HEUN_VALIDATED_MAX_TEMP:.3g}: the deterministic "
+                    f"PF-ODE measured catastrophic FID divergence at "
+                    f"T ~ 2.5e4 (scripts/endurance_heun_table.md). Lower "
+                    f"the schedule's max temperature, pass a custom "
+                    f"log_temp grid, or use step_type='ddpm'.",
+                    stacklevel=2,
+                )
 
     def _grid(self) -> Array:
         return discretize_schedule(

@@ -132,6 +132,8 @@ class DDPMTrainer:
     dropout_rng_impl: Optional[str] = "rbg"
 
     def __post_init__(self):
+        import threading
+
         self.optimizer = make_optimizer(
             self.learning_rate, self.weight_decay, self.betas,
             self.warmup_steps, self.total_iters, self.grad_clip,
@@ -139,6 +141,10 @@ class DDPMTrainer:
         self._lr_schedule = warmup_linear_decay(
             self.learning_rate, self.warmup_steps, self.total_iters
         )
+        # Eager: a lazily-created lock could itself be created twice by
+        # the main thread and a background publisher racing on hasattr.
+        self._pub_lock = threading.Lock()
+        self._pending_step: Optional[int] = None
 
     # ------------------------------------------------------------------
     # state
@@ -228,17 +234,22 @@ class DDPMTrainer:
             self._ckptr = ocp.StandardCheckpointer()
         return self._ckptr
 
-    def _publish_pending(self) -> None:
+    def _publish_pending(self, expected_step: Optional[int] = None) -> None:
         """After a save is known complete, point latest.txt at it. Never
         publishes an in-flight save, so a crash mid-write can't leave the
-        resume pointer at an unreadable checkpoint."""
-        import threading
+        resume pointer at an unreadable checkpoint.
 
-        if not hasattr(self, "_pub_lock"):
-            self._pub_lock = threading.Lock()
+        ``expected_step`` guards the background-publisher path: a stale
+        thread whose wait_until_finished() returned for save N must not
+        publish after the main thread has started save N+1 (at which point
+        ``_pending_step`` is N+1 and still in flight). Passing the step it
+        waited for makes the publish conditional, restoring the invariant
+        under thread preemption."""
         with self._pub_lock:
-            step = getattr(self, "_pending_step", None)
+            step = self._pending_step
             if step is None:
+                return
+            if expected_step is not None and step != expected_step:
                 return
             latest = os.path.join(self.checkpoint_dir, "latest.txt")
             with open(latest, "w") as f:
@@ -259,7 +270,8 @@ class DDPMTrainer:
         self._publish_pending()
         path = os.path.abspath(os.path.join(self.checkpoint_dir, f"step_{step}"))
         ckptr.save(path, jax.device_get(dataclasses.asdict(state)), force=True)
-        self._pending_step = step
+        with self._pub_lock:
+            self._pending_step = step
         if block:
             ckptr.wait_until_finished()
             self._publish_pending()
@@ -272,10 +284,12 @@ class DDPMTrainer:
             # tunnel dropped mid-interval
             import threading
 
-            def _bg():
+            def _bg(expected_step=step):
                 try:
                     ckptr.wait_until_finished()
-                    self._publish_pending()
+                    # conditional: only publish if a newer save hasn't
+                    # superseded this one while we were preempted
+                    self._publish_pending(expected_step=expected_step)
                 except Exception:
                     pass  # next save / finalize republishes
 
@@ -394,7 +408,13 @@ class DDPMTrainer:
 
         import numpy as _np
 
-        host_rng = _np.random.RandomState(0)
+        def host_batch_indices(it: int) -> _np.ndarray:
+            # Step-keyed (seed, it) stream, mirroring the device-resident
+            # path's fold_in(key, it): a resumed run at step k continues
+            # with draw k+1 instead of restarting the stream from draw 1
+            # (a fresh RandomState(0) per train() call would re-train on
+            # the exact early-stream batches after every resume).
+            return _np.random.default_rng((0, it)).integers(0, n, batch_size)
 
         import contextlib
 
@@ -407,7 +427,7 @@ class DDPMTrainer:
             step_key = jax.random.fold_in(key, it)
             with phase("data"):
                 if host_resident:
-                    idx = host_rng.randint(0, n, batch_size)
+                    idx = host_batch_indices(it)
                     x0 = augment(
                         data.device_batch(idx), jax.random.fold_in(step_key, 1)
                     )

@@ -317,9 +317,24 @@ class UNet2D(nn.Module):
 # the config describes)
 _IGNORED_UNET_KEYS = {
     "_class_name", "_diffusers_version", "in_channels", "out_channels",
-    "sample_size", "act_fn", "center_input_sample", "time_embedding_type",
-    "attn_norm_num_groups", "class_embed_type", "num_class_embeds",
-    "num_train_timesteps", "resnet_time_scale_shift", "mid_block_scale_factor",
+    "sample_size", "num_train_timesteps",
+}
+
+# Keys this architecture does not consume but whose NON-default values
+# change network behavior (diffusers UNet2DModel semantics): a checkpoint
+# with e.g. resnet_time_scale_shift='scale_shift' has shape-compatible
+# weights, so silently ignoring it would import a behaviorally different
+# network. Each maps to its set of accepted (equivalent-to-our-behavior)
+# values.
+_DEFAULT_ONLY_UNET_KEYS: Dict[str, tuple] = {
+    "act_fn": ("silu",),
+    "center_input_sample": (False,),
+    "time_embedding_type": ("positional",),
+    "resnet_time_scale_shift": ("default",),
+    "class_embed_type": (None,),
+    "num_class_embeds": (None,),
+    "attn_norm_num_groups": (None,),
+    "mid_block_scale_factor": (1, 1.0),
 }
 
 _KNOWN_UNET_KEYS = {
@@ -339,12 +354,23 @@ def unet_from_config(
     (config/groups/ddpm.yaml keys) or a diffusers UNet2DModel config.json
     dict (norm_num_groups / add_attention spellings accepted)."""
     cfg = dict(unet_config or {})
-    unknown = set(cfg) - _KNOWN_UNET_KEYS - _IGNORED_UNET_KEYS
+    unknown = (
+        set(cfg) - _KNOWN_UNET_KEYS - _IGNORED_UNET_KEYS
+        - set(_DEFAULT_ONLY_UNET_KEYS)
+    )
     if unknown:
         raise ValueError(
             f"unet_config keys with no effect on this architecture: "
             f"{sorted(unknown)} (known: {sorted(_KNOWN_UNET_KEYS)})"
         )
+    for key, accepted in _DEFAULT_ONLY_UNET_KEYS.items():
+        if key in cfg and cfg[key] not in accepted:
+            raise ValueError(
+                f"unet_config[{key!r}]={cfg[key]!r} is not supported by this "
+                f"architecture (accepted: {accepted}); importing such a "
+                f"checkpoint would silently build a behaviorally different "
+                f"network"
+            )
     norm_groups = int(
         cfg.get("norm_groups", cfg.get("norm_num_groups", 32))
     )

@@ -46,6 +46,7 @@ from ..core.temperature import (
     bcast_right,
     one_minus_alpha_bar_from_log_temp,
 )
+from .precision import boltzmann_precision_mode, xla_dot_precision
 
 DEFAULT_CHUNK = 0  # 0 = adaptive (see _auto_chunk)
 
@@ -131,6 +132,7 @@ def _scan_raw(
     y_scale: Array,
     values: Optional[Array],
     chunk_size: int,
+    mxu_precision: str = "fp32",
 ) -> _RawAcc:
     B, D = xf.shape
     N = yf.shape[0]
@@ -148,12 +150,18 @@ def _scan_raw(
         K, v_chunks = 0, None
 
     x_sq = 0.5 * jnp.sum(xf * xf, axis=-1)  # (B,)
+    # The Gram term is where the cancellation lives (see ops/precision.py);
+    # default fp32 matches the reference's forced-fp32 hot primitive
+    # (utils/distance.py:13-21) instead of XLA's bf16 TPU lowering.
+    dot_prec = xla_dot_precision(mxu_precision)
 
     def body(carry: _RawAcc, inp):
         m, s0, s1, s2, sy = carry
         ci, yc, vc = inp  # chunk index, (chunk, D), (chunk, K) or None
         # H_ij = 0.5||x_i||^2 - s_i x_i.y_j + 0.5 s_i^2 ||y_j||^2
-        gram = jnp.dot(xf, yc.T, preferred_element_type=jnp.float32)
+        gram = jnp.dot(
+            xf, yc.T, preferred_element_type=jnp.float32, precision=dot_prec
+        )
         y_sq = 0.5 * jnp.sum(yc * yc, axis=-1)  # (chunk,)
         h = (
             x_sq[:, None]
@@ -182,7 +190,10 @@ def _scan_raw(
         syn = (
             None
             if sy is None
-            else sy * c[:, None] + jnp.dot(p, vc, preferred_element_type=jnp.float32)
+            else sy * c[:, None]
+            + jnp.dot(
+                p, vc, preferred_element_type=jnp.float32, precision=dot_prec
+            )
         )
         return _RawAcc(m_new, s0n, s1n, s2n, syn), None
 
@@ -208,7 +219,9 @@ def _resolve_values(
     return None
 
 
-@partial(jax.jit, static_argnames=("compute_mean", "chunk_size"))
+@partial(
+    jax.jit, static_argnames=("compute_mean", "chunk_size", "mxu_precision")
+)
 def boltzmann_moments_xla(
     x: Array,
     y: Array,
@@ -218,14 +231,19 @@ def boltzmann_moments_xla(
     values: Optional[Array] = None,
     compute_mean: bool = False,
     chunk_size: int = DEFAULT_CHUNK,
+    mxu_precision: str = "fp32",
 ) -> BoltzmannMoments:
     """Portable lax.scan implementation (CPU path / oracle for the Pallas
     kernel). ``values`` (N, K): per-dataset-point payload whose posterior
     mean E_p[values] is returned as ``mean``; ``compute_mean=True`` is sugar
-    for ``values=y``."""
+    for ``values=y``. ``mxu_precision``: see ops/precision.py."""
     vals = _resolve_values(y, values, compute_mean)
     xf, yf, inv_temp, y_scale = _prep(x, y, inv_temp, y_scale)
-    return _finalize(_scan_raw(xf, yf, inv_temp, y_scale, vals, chunk_size))
+    return _finalize(
+        _scan_raw(
+            xf, yf, inv_temp, y_scale, vals, chunk_size, mxu_precision
+        )
+    )
 
 
 def boltzmann_moments(
@@ -237,8 +255,14 @@ def boltzmann_moments(
     values: Optional[Array] = None,
     compute_mean: bool = False,
     chunk_size: int = DEFAULT_CHUNK,
+    mxu_precision: Optional[str] = None,
 ) -> BoltzmannMoments:
     """Dispatch between the two implementations.
+
+    Precision: one policy for every Gram op, resolved by
+    ``ops/precision.py`` (PDM_BOLTZMANN_PRECISION, default fp32) and obeyed
+    by BOTH implementations — the round-2 float64-oracle test showed the
+    default bf16 TPU lowering errs up to 0.67 entropy on the sweep case.
 
     Round-2 measurements (single chip, B=1024, N=50k, D=3072; the part's
     empirical MXU peak is ~108 TF/s bf16): the D-tiled Pallas kernel at
@@ -251,6 +275,7 @@ def boltzmann_moments(
     """
     import os
 
+    mode = boltzmann_precision_mode(mxu_precision)
     if (
         os.environ.get("PDM_BOLTZMANN_IMPL") == "pallas"
         and jax.default_backend() == "tpu"
@@ -258,7 +283,8 @@ def boltzmann_moments(
         from .boltzmann_pallas import boltzmann_moments_pallas
 
         return boltzmann_moments_pallas(
-            x, y, inv_temp, y_scale, values=values, compute_mean=compute_mean
+            x, y, inv_temp, y_scale, values=values,
+            compute_mean=compute_mean, mxu_precision=mode,
         )
     return boltzmann_moments_xla(
         x,
@@ -268,6 +294,7 @@ def boltzmann_moments(
         values=values,
         compute_mean=compute_mean,
         chunk_size=chunk_size,
+        mxu_precision=mode,
     )
 
 
@@ -320,6 +347,7 @@ def boltzmann_moments_shard_body(
     values: Optional[Array] = None,
     compute_mean: bool = False,
     chunk_size: int = DEFAULT_CHUNK,
+    mxu_precision: Optional[str] = None,
 ) -> BoltzmannMoments:
     """Per-shard body to run under ``shard_map``: the dataset ``y`` is
     sharded over ``axis_name`` (``values`` shards with it), queries ``x``
@@ -329,7 +357,10 @@ def boltzmann_moments_shard_body(
     """
     vals = _resolve_values(y_shard, values, compute_mean)
     xf, yf, inv_temp, y_scale = _prep(x, y_shard, inv_temp, y_scale)
-    m, s0, s1, s2, sy = _scan_raw(xf, yf, inv_temp, y_scale, vals, chunk_size)
+    m, s0, s1, s2, sy = _scan_raw(
+        xf, yf, inv_temp, y_scale, vals, chunk_size,
+        boltzmann_precision_mode(mxu_precision),
+    )
 
     m_g = jax.lax.pmax(m, axis_name)
     finite = jnp.isfinite(m)

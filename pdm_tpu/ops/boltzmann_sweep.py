@@ -48,9 +48,11 @@ NEG_INF = float("-inf")
 # accurate than the on-TPU XLA per-temperature path (whose fp32 matmuls
 # XLA lowers to bf16 passes) and is only ~20% slower than "bf16_3x" here
 # because the per-temperature epilogue, not the Gram, dominates.
-import os as _os
+# Resolution: PDM_SWEEP_PRECISION > PDM_BOLTZMANN_PRECISION > fp32 — one
+# policy for all Gram ops (ops/precision.py).
+from .precision import sweep_precision_mode
 
-SWEEP_PRECISION = _os.environ.get("PDM_SWEEP_PRECISION", "fp32")
+SWEEP_PRECISION = sweep_precision_mode()
 
 
 # ---------------------------------------------------------------------------
@@ -428,7 +430,7 @@ def boltzmann_sweep(
     import os
 
     if mxu_precision is None:
-        mxu_precision = SWEEP_PRECISION
+        mxu_precision = sweep_precision_mode()
     if isinstance(y, PreparedY):
         # the pack's layout must match the requested MXU precision
         want_lo = mxu_precision == "bf16_3x"

@@ -15,10 +15,19 @@ import jax.numpy as jnp
 from jax import Array
 
 
-@partial(jax.jit, static_argnames=("k", "chunk_size"))
-def knn_sqdist(data: Array, k: int = 5, chunk_size: int = 1024) -> Array:
+@partial(jax.jit, static_argnames=("k", "chunk_size", "mxu_precision"))
+def knn_sqdist(
+    data: Array,
+    k: int = 5,
+    chunk_size: int = 1024,
+    mxu_precision: str = "fp32",
+) -> Array:
     """(N,) squared distance to each point's k-th nearest neighbor
-    (excluding the point itself)."""
+    (excluding the point itself). ``mxu_precision``: the unified Gram
+    policy (ops/precision.py); fp32 by default — see the comment below."""
+    from .precision import xla_dot_precision
+
+    dot_prec = xla_dot_precision(mxu_precision)
     x = data.reshape(data.shape[0], -1).astype(jnp.float32)
     n, d = x.shape
     chunk = min(chunk_size, n)
@@ -37,7 +46,7 @@ def knn_sqdist(data: Array, k: int = 5, chunk_size: int = 1024) -> Array:
         # neighbor order (reference k-NN is exact sklearn)
         gram = jnp.dot(
             rows, x.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=dot_prec,
         )
         dist = rows_sq[:, None] - 2.0 * gram + x_sq[None, :]
         # exclude self-distance: mask the diagonal entries

@@ -151,8 +151,11 @@ def thermo_sweep(
     with_knn = bool(regularize and adaptive_knn)
     if with_knn:
         from ..ops.knn import knn_sqdist
+        from ..ops.precision import boltzmann_precision_mode
 
-        d_k = knn_sqdist(data2d, k=knn_k)  # (N,) squared k-NN distance
+        d_k = knn_sqdist(
+            data2d, k=knn_k, mxu_precision=boltzmann_precision_mode()
+        )  # (N,) squared k-NN distance
         sigma_reg_sq = d_k * (sigma_reg_scale / float(d))
 
     entropy_acc = []

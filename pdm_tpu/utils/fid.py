@@ -33,14 +33,23 @@ from ..ops.sqrtm import trace_sqrtm_product
 
 
 @jax.jit
-def _shifted_moment_update(carry, feats: Array, shift: Array):
+def _shifted_moment_update(carry, feats: Array, shift: Array, mask: Array):
     """Accumulate first/second moments of (feats - shift) in fp32. With
     shift ~ mu the ss - n*outer(mu,mu) cancellation disappears, so a
     single fp32 pass matches the reference's two-pass torch.cov to within
-    rounding (Inception features have large nonzero means)."""
+    rounding (Inception features have large nonzero means).
+
+    ``mask`` (B,): 1.0 for valid rows, 0.0 for padding (the mesh path pads
+    the ragged final batch up to the data-axis multiple). Masked rows are
+    zeroed BEFORE the sums so they contribute nothing; n counts the mask.
+
+    The accumulators are plain sums over the batch axis, so under a
+    ('data',)-sharded batch XLA reduces them with a psum over ICI — this
+    jit IS the multi-chip path, no shard_map needed.
+    """
     n, s, ss = carry
-    feats = feats.astype(jnp.float32) - shift
-    n = n + feats.shape[0]
+    feats = (feats.astype(jnp.float32) - shift) * mask[:, None]
+    n = n + jnp.sum(mask)
     s = s + jnp.sum(feats, axis=0)
     ss = ss + jnp.dot(feats.T, feats, preferred_element_type=jnp.float32)
     return n, s, ss
@@ -51,12 +60,19 @@ def feature_statistics(
     feature_fn: Callable[[Array], Array],
     feature_dim: int,
     batch_size: int = 500,
+    mesh=None,
 ) -> Tuple[Array, Array]:
     """(mu, Sigma) of features over a dataset, streaming in batches.
 
     Unbiased covariance (matches torch.cov / the reference). The first
     batch's mean is used as a numerical shift for the outer-product
     accumulator (shifted one-pass covariance).
+
+    ``mesh``: optional ('data','model') Mesh — each batch (and its
+    validity mask) is laid out over 'data' before the feature extractor,
+    so the per-chip feature batches run data-parallel and the moment sums
+    psum-reduce over ICI (SURVEY §7.6). Ragged final batches are padded to
+    the data-axis multiple and masked out of the moments exactly.
     """
     n_total = data.shape[0]
     carry = (
@@ -64,12 +80,37 @@ def feature_statistics(
         jnp.zeros((feature_dim,), jnp.float32),
         jnp.zeros((feature_dim, feature_dim), jnp.float32),
     )
+    batch_sharding_ = mask_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import batch_sharding as _bs
+
+        n_data = mesh.shape.get("data", 1)
+        batch_size = max(batch_size // n_data, 1) * n_data
+        batch_sharding_ = _bs(mesh)
+        mask_sharding = NamedSharding(mesh, P("data"))
     shift = None
     for i in range(0, n_total, batch_size):
-        feats = feature_fn(data[i : i + batch_size])
+        batch = data[i : i + batch_size]
+        b = batch.shape[0]
+        pad = (-b) % (mesh.shape.get("data", 1) if mesh is not None else 1)
+        if pad:
+            batch = jnp.concatenate(
+                [batch, jnp.zeros((pad, *batch.shape[1:]), batch.dtype)]
+            )
+        mask = jnp.concatenate(
+            [jnp.ones((b,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        )
+        if batch_sharding_ is not None:
+            batch = jax.device_put(batch, batch_sharding_)
+            mask = jax.device_put(mask, mask_sharding)
+        feats = feature_fn(batch)
         if shift is None:
+            # first batch is always full (batch_size >= 1 row); its mean
+            # is only a numerical shift, exactness not required
             shift = jnp.mean(feats.astype(jnp.float32), axis=0)
-        carry = _shifted_moment_update(carry, feats, shift)
+        carry = _shifted_moment_update(carry, feats, shift, mask)
     n, s, ss = carry
     mu_c = s / n  # mean of the shifted features
     sigma = (ss - n * jnp.outer(mu_c, mu_c)) / (n - 1.0)
@@ -156,15 +197,18 @@ def get_compute_fid(
     feature_fn: Callable[[Array], Array],
     feature_dim: int,
     batch_size: int = 500,
+    mesh=None,
 ) -> Callable[[Array], float]:
     """Closure caching the reference statistics (parity:
-    utils/fid.py:77-86)."""
+    utils/fid.py:77-86). ``mesh`` shards feature extraction over 'data'."""
     mu_ref, sigma_ref = feature_statistics(
-        reference_data, feature_fn, feature_dim, batch_size
+        reference_data, feature_fn, feature_dim, batch_size, mesh=mesh
     )
 
     def compute(data: Array) -> float:
-        mu, sigma = feature_statistics(data, feature_fn, feature_dim, batch_size)
+        mu, sigma = feature_statistics(
+            data, feature_fn, feature_dim, batch_size, mesh=mesh
+        )
         return float(frechet_distance(mu_ref, sigma_ref, mu, sigma))
 
     return compute

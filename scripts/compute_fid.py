@@ -15,14 +15,19 @@ def main(config: Config) -> None:
     import pandas as pd
 
     from pdm_tpu.models.from_config import ddpm_from_config
+    from pdm_tpu.parallel.mesh import mesh_from_config
     from pdm_tpu.utils.data import get_data_tensor
     from pdm_tpu.utils.fid import get_compute_fid, get_feature_fn
     from sample import build_sampler
 
     ensure_dirs("fid", "samples")
+    # feature extraction shards over the 'data' axis; moments psum-reduce
+    mesh = mesh_from_config(config.parallel)
+    if mesh is not None:
+        print(f"mesh: {dict(mesh.shape)}")
     reference = get_data_tensor(config, train=config.fid.train)
     feature_fn, fdim = get_feature_fn(config.dataset_name)
-    compute_fid = get_compute_fid(reference, feature_fn, fdim)
+    compute_fid = get_compute_fid(reference, feature_fn, fdim, mesh=mesh)
     ddpm = ddpm_from_config(config, pretrained=True)
 
     rows = []

@@ -155,3 +155,22 @@ def test_cli_types_from_annotations():
     assert cfg.empirical_stats.min_temp == 1e-3 and isinstance(
         cfg.empirical_stats.min_temp, float
     )
+
+
+def test_cli_kind_pep604_and_literal():
+    """PEP 604 unions (int | None -> types.UnionType) and Literal[str,...]
+    must map to scalar parsing, not yaml.safe_load, where YAML 1.1 would
+    coerce 'no' -> False / 'on' -> True (ADVICE.md loader.py finding)."""
+    import typing
+    from pdm_tpu.config.loader import _cli_kind
+
+    assert _cli_kind(int | None) is int
+    assert _cli_kind(float | None) is float
+    assert _cli_kind(str | None) is str
+    assert _cli_kind(bool | None) == "bool"
+    assert _cli_kind(typing.Literal["no", "on", "off"]) is str
+    assert _cli_kind(typing.Literal[1, 2, 3]) is int
+    # heterogeneous Literal still falls back to yaml
+    assert _cli_kind(typing.Literal["a", 1]) == "yaml"
+    # plain containers still yaml-parse
+    assert _cli_kind(list) == "yaml"

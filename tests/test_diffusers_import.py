@@ -202,3 +202,43 @@ def test_diffusers_ddpm_from_config_local_dir(tmp_path):
     )
     assert out.x0.shape == (2, 1, 16, 16)
     assert bool(jnp.all(jnp.isfinite(out.x0)))
+
+
+def test_unet_from_config_default_only_keys_guard():
+    """Behavioral-but-unconsumed diffusers keys must be validated by VALUE:
+    a checkpoint with resnet_time_scale_shift='scale_shift' has shape-
+    compatible weights, so silently ignoring it would import a behaviorally
+    different network (ADVICE.md unet.py finding). Default values pass."""
+    import pytest
+
+    # defaults / equivalents are accepted
+    net = unet_from_config(1, {
+        "block_out_channels": [8, 16],
+        "down_block_types": ["DownBlock2D", "AttnDownBlock2D"],
+        "up_block_types": ["AttnUpBlock2D", "UpBlock2D"],
+        "resnet_time_scale_shift": "default",
+        "time_embedding_type": "positional",
+        "class_embed_type": None,
+        "num_class_embeds": None,
+        "act_fn": "silu",
+        "center_input_sample": False,
+        "mid_block_scale_factor": 1,
+    })
+    assert net.block_out_channels == (8, 16)
+
+    for key, bad in [
+        ("resnet_time_scale_shift", "scale_shift"),
+        ("time_embedding_type", "fourier"),
+        ("class_embed_type", "timestep"),
+        ("num_class_embeds", 10),
+        ("act_fn", "gelu"),
+        ("center_input_sample", True),
+        ("mid_block_scale_factor", 0.5),
+    ]:
+        with pytest.raises(ValueError, match="not supported"):
+            unet_from_config(1, {
+                "block_out_channels": [8, 16],
+                "down_block_types": ["DownBlock2D", "DownBlock2D"],
+                "up_block_types": ["UpBlock2D", "UpBlock2D"],
+                key: bad,
+            })

@@ -158,3 +158,51 @@ def test_inception_torch_conversion_structure():
         for path, _ in jax.tree_util.tree_flatten_with_path(converted)[0]
     }
     assert ref_paths == conv_paths
+
+
+def test_feature_statistics_mesh_matches_single_device():
+    """SURVEY §7.6 / VERDICT r2 weak #6: the mesh path (batches laid out
+    over 'data', moment sums psum-reduced) must reproduce the single-device
+    moments exactly — including a ragged final batch (padded + masked) and
+    a batch_size not divisible by the data axis."""
+    from pdm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(4)
+    # 1000 rows, batch 130 -> mesh path rounds to 128 (data=8) and the
+    # final batch is ragged on both paths
+    data = rng.randn(1000, 16).astype(np.float32)
+    mu_ref, sigma_ref = feature_statistics(
+        jnp.asarray(data), lambda x: x, 16, batch_size=130
+    )
+    mesh = make_mesh(data=8, model=1)
+    mu_m, sigma_m = feature_statistics(
+        jnp.asarray(data), lambda x: x, 16, batch_size=130, mesh=mesh
+    )
+    np.testing.assert_allclose(np.asarray(mu_m), data.mean(0), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sigma_m), np.cov(data.T), rtol=1e-4, atol=1e-5
+    )
+    # and the two paths agree with each other to float tolerance
+    np.testing.assert_allclose(
+        np.asarray(mu_m), np.asarray(mu_ref), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sigma_m), np.asarray(sigma_ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_compute_fid_mesh_closure():
+    """get_compute_fid(mesh=...) matches the unsharded closure."""
+    from pdm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(5)
+    ref = rng.randn(512, 8).astype(np.float32)
+    x = (rng.randn(400, 8) * 1.1 + 0.3).astype(np.float32)
+    fid_single = get_compute_fid(jnp.asarray(ref), lambda x: x, 8)(
+        jnp.asarray(x)
+    )
+    mesh = make_mesh(data=4, model=2)
+    fid_mesh = get_compute_fid(
+        jnp.asarray(ref), lambda x: x, 8, mesh=mesh
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(fid_mesh, fid_single, rtol=1e-4, atol=1e-4)

