@@ -67,11 +67,15 @@ def main():
     dt = (time.time() - t0) / reps
     samples_per_sec = batch / dt
 
-    # MFU against the measured device peak. This chip's empirically
-    # achievable bf16 matmul rate is ~108 TF/s (8192^3 matmul; the v5e
-    # spec sheet's 197 TF/s is not reachable through this runtime), so
-    # efficiency is reported against what the silicon actually delivers.
-    device_peak_flops = 108e12
+    # MFU denominators. The round-2 "108 TF/s empirical peak" was a
+    # measurement artifact (single-call timing through the axon tunnel);
+    # the round-3 roofline sweep (scripts/roofline.py: chained reps inside
+    # one jit, scalar readback) measures up to 184 TF/s bf16 at 4096^3 and
+    # 170-181 TF/s across 2k-16k squares — 93% of the v5e spec sheet's
+    # 197 TF/s. mfu is reported against the measured peak, mfu_vs_spec
+    # against the spec number.
+    device_peak_flops = 184e12
+    spec_peak_flops = 197e12
     fwd = jax.jit(
         lambda p, xx, tt: net.apply({"params": p}, xx, tt, deterministic=True)
     )
@@ -188,6 +192,10 @@ def main():
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs, 3),
         "mfu": round(mfu, 3),
+        "mfu_vs_spec": round(mfu * device_peak_flops / spec_peak_flops, 3),
+        "train_mfu_vs_spec": round(
+            train_mfu * device_peak_flops / spec_peak_flops, 3
+        ),
         "sweep_pairs_per_sec": round(pairs_per_sec, 1),
         "train_img_per_sec": round(train_img_per_sec, 1),
         "train_mfu": round(train_mfu, 3),
