@@ -106,6 +106,26 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
+class _ProjParams(nn.Module):
+    """Owns one Dense-shaped (kernel, bias) pair WITHOUT running a GEMM —
+    lets AttentionBlock keep the exact nn.Dense parameter tree
+    (to_q/to_k/to_v/{kernel,bias}, diffusers-import compatible) while the
+    forward fuses all three projections into one 3C-wide GEMM. Separate
+    256-wide GEMMs run at ~53 TF/s on this chip (narrow-N MXU regime,
+    ROOFLINE.md) vs ~159 TF/s at >=512-wide."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
 class AttentionBlock(nn.Module):
     """Single-image spatial self-attention (the deprecated-style attn block
     with residual connection and fp32 softmax)."""
@@ -129,23 +149,44 @@ class AttentionBlock(nn.Module):
             name="group_norm", dtype=self.norm_dtype,
         )(x)
         h = h.reshape(B, H * W, C).astype(self.dtype)
-        q = nn.Dense(C, name="to_q", dtype=self.dtype)(h)
-        k = nn.Dense(C, name="to_k", dtype=self.dtype)(h)
-        v = nn.Dense(C, name="to_v", dtype=self.dtype)(h)
+        wq, bq = _ProjParams(C, name="to_q")(C)
+        wk, bk = _ProjParams(C, name="to_k")(C)
+        wv, bv = _ProjParams(C, name="to_v")(C)
+        w_qkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+        b_qkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+        qkv = jnp.dot(h, w_qkv) + b_qkv  # one (B*T, C) @ (C, 3C) GEMM
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def split(t):
-            t = t.reshape(B, H * W, heads, hd).transpose(0, 2, 1, 3)
-            if self.head_sharding is not None and heads > 1:
-                t = jax.lax.with_sharding_constraint(t, self.head_sharding)
-            return t
+        from ..ops.attention import (
+            fused_spatial_attention, use_fused_attention,
+        )
 
-        q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(hd)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, H * W, C)
+        scale = 1.0 / math.sqrt(hd)
+        if self.head_sharding is None and use_fused_attention(
+            H * W, C, heads
+        ):
+            # one VMEM-resident Pallas program per (batch, head): no HBM
+            # score tensor, no head split/merge transposes — measured 21%
+            # of the flagship forward under the XLA einsum path
+            # (scripts/ablate_unet.py, ROOFLINE.md)
+            out = fused_spatial_attention(q, k, v, heads, scale)
+        else:
+            # XLA fallback: CPU, tensor-parallel head sharding, odd shapes
+            def split(t):
+                t = t.reshape(B, H * W, heads, hd).transpose(0, 2, 1, 3)
+                if self.head_sharding is not None and heads > 1:
+                    t = jax.lax.with_sharding_constraint(t, self.head_sharding)
+                return t
+
+            qh, kh, vh = split(q), split(k), split(v)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+            ) * scale
+            weights = jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh)
+            out = out.transpose(0, 2, 1, 3).reshape(B, H * W, C)
         out = nn.Dense(C, name="to_out", dtype=self.dtype)(out)
         return x + out.reshape(B, H, W, C)
 
