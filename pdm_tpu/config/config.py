@@ -59,6 +59,14 @@ class DDPMTrainingConfig(BaseModel):
     warmup_steps: int = Field(..., description="LR warmup steps")
     betas: Tuple[float, float] = Field(..., description="Adam betas")
     grad_clip: float = Field(..., description="Global gradient-norm clip")
+    use_wandb: bool = Field(
+        False,
+        description=(
+            "Mirror metrics/eval images to wandb (resume='allow', "
+            "id=experiment_name — reference ddpm_trainer.py:182-188); "
+            "CSV logging always stays on"
+        ),
+    )
 
 
 class DataAugmentationConfig(BaseModel):
@@ -105,6 +113,14 @@ class FIDConfig(BaseModel):
     min_temp: List[float] = Field(..., description="Min temperatures for the sweep")
     train: bool = Field(..., description="Reference = train split")
     sample: bool = Field(..., description="Sample fresh or reuse saved samples")
+    samples: Optional[int] = Field(
+        None,
+        description=(
+            "Override the dataset's FID protocol sample count "
+            "(dataset_config.fid_samples, 50k for the BASELINE rows) — "
+            "for quick sweeps and the offline dress rehearsal"
+        ),
+    )
     required: bool = Field(
         False,
         description="Hard-fail when the FID feature extractor is "

@@ -47,8 +47,23 @@ class CSVLogger:
             now = time.time()
             for k, v in metrics.items():
                 writer.writerow([step, k, v, now])
-        if self._wandb is not None:  # pragma: no cover
+        if self._wandb is not None:
             self._wandb.log(metrics, step=step)
+
+    def log_images(self, step: int, tag: str, images: np.ndarray) -> None:
+        """(N, C, H, W) in [-1, 1] -> wandb image panel (no-op without
+        wandb). Parity: the reference logs eval sample grids as a list of
+        wandb.Image per eval step (ddpm_trainer.py:130-143)."""
+        if self._wandb is None:
+            return
+        from ..utils.data import to_uint8
+
+        imgs = np.transpose(to_uint8(np.asarray(images)), (0, 2, 3, 1))
+        if imgs.shape[-1] == 1:
+            imgs = imgs[..., 0]
+        self._wandb.log(
+            {tag: [self._wandb.Image(im) for im in imgs]}, step=step
+        )
 
 
 def save_image_grid(images: np.ndarray, path: str, nrow: int = 5) -> None:
@@ -74,10 +89,14 @@ def save_image_grid(images: np.ndarray, path: str, nrow: int = 5) -> None:
         np.save(path + ".npy", arr)
 
 
-def make_eval_fn(config, reference_data, sample_dir: str = "eval_samples"):
+def make_eval_fn(
+    config, reference_data, sample_dir: str = "eval_samples", logger=None
+):
     """Periodic eval hook: DDIM-100 on EMA weights -> 25-image grid +
     FID over fid_samples (parity: reference evaluate()). FID is skipped
-    gracefully when the feature extractor's weights are unavailable."""
+    gracefully when the feature extractor's weights are unavailable.
+    ``logger``: a CSVLogger — eval grids are forwarded to its wandb image
+    panel when wandb is active."""
     import jax
     import jax.numpy as jnp
 
@@ -114,6 +133,8 @@ def make_eval_fn(config, reference_data, sample_dir: str = "eval_samples"):
         )
         grid = sampler.sample(jax.random.PRNGKey(step))["x"]
         save_image_grid(grid, os.path.join(sample_dir, f"step_{step}.png"))
+        if logger is not None:
+            logger.log_images(step, "eval_samples", grid)
         metrics: Dict[str, float] = {}
         if compute_fid is None:
             # per-eval, not once-at-construction: a long run must not
@@ -127,13 +148,16 @@ def make_eval_fn(config, reference_data, sample_dir: str = "eval_samples"):
                 stacklevel=2,
             )
         if compute_fid is not None:
+            n_fid = (
+                config.fid.samples or config.dataset_config.fid_samples
+            )
             sampler = DDPMSampler(
                 ddpm=ema_ddpm,
                 scheduler=scheduler,
                 n_steps=100,
                 obj_size=config.dataset_config.obj_size,
-                batch_size=500,
-                n_samples=config.dataset_config.fid_samples,
+                batch_size=min(500, n_fid),
+                n_samples=n_fid,
                 step_type="ddim",
             )
             samples = sampler.sample(jax.random.PRNGKey(step + 1))["x"]

@@ -44,7 +44,7 @@ def main(config: Config) -> None:
     # which would otherwise move experiment_name/fid_results_path between
     # iterations and split the table across two CSVs
     results_path = config.fid_results_path
-    n_fid = config.dataset_config.fid_samples
+    n_fid = config.fid.samples or config.dataset_config.fid_samples
     for n_steps, (schedule, path), min_temp in product(
         config.fid.n_steps,
         zip(config.fid.noise_schedule_type, paths),

@@ -27,7 +27,11 @@ def main(config: Config) -> None:
     data = get_data_tensor(config)
     ddpm = ddpm_from_config(config)
     tc = config.ddpm_training
-    logger = CSVLogger(f"logs/{config.experiment_name}.csv")
+    logger = CSVLogger(
+        f"logs/{config.experiment_name}.csv",
+        use_wandb=tc.use_wandb,
+        run_name=config.experiment_name,
+    )
     trainer = DDPMTrainer(
         ddpm=ddpm,
         learning_rate=tc.learning_rate,
@@ -39,7 +43,7 @@ def main(config: Config) -> None:
         ema_decay=tc.ema_decay,
         eval_steps=tc.eval_steps,
         checkpoint_dir=config.checkpoint_dir,
-        eval_fn=make_eval_fn(config, data),
+        eval_fn=make_eval_fn(config, data, logger=logger),
         log_fn=logger,
         horizontal_flip=(
             config.data_augmentation.use_augmentation
