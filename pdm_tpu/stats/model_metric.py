@@ -123,22 +123,45 @@ def empirical_entropy_stats(
     out = model_metric_stats(
         key, ddpm, data, temp, n_samples, batch_size, noising="vp"
     )
-    ds = out["metric"]  # = dS/dlogT
-    log_t = out["log_temp"]
-    d_log_t = np.diff(log_t)
+    curves = integrate_entropy_curves(
+        out["metric"], out["temp"], out["log_temp"]
+    )
+    return {
+        "temp": out["temp"],
+        "entropy": curves["entropy"],
+        "rescaled_entropy": curves["rescaled_entropy"],
+        "d_entropy_d_log_temp": out["metric"],
+        "log_temp": out["log_temp"],
+    }
+
+
+def integrate_entropy_curves(
+    ds: np.ndarray, temp: np.ndarray, log_temp: np.ndarray
+) -> Dict[str, np.ndarray]:
+    """Trapezoid-integrate dS/dlogT to (entropy, rescaled_entropy), both
+    anchored to 0 at the MAX temperature.
+
+    Alignment contract vs the reference (pinned by
+    tests/fixtures/empirical_entropy_golden.npz): the reference appends the
+    anchor zero AFTER the cumulative sums (torch pad (0,1),
+    compute_stats_empirical.py:58-65), which stores the integral up to
+    temp[k+1] at index k — every value one grid index early. Here the zero
+    is PREPENDED, so entropy[k] is exactly the integral from temp[0] to
+    temp[k]; ours[k+1] == reference[k] for the same dS/dlogT input.
+    """
+    d_log_t = np.diff(log_temp)
     entropy = np.concatenate(
         [[0.0], np.cumsum(0.5 * (ds[1:] + ds[:-1]) * d_log_t)]
     )
     entropy -= entropy[-1]
-    sigma = np.sqrt(out["temp"])
+    sigma = np.sqrt(temp)
     rescaled = np.concatenate(
-        [[0.0], np.cumsum(0.5 * (ds[1:] * sigma[1:] + ds[:-1] * sigma[:-1]) * d_log_t)]
+        [
+            [0.0],
+            np.cumsum(
+                0.5 * (ds[1:] * sigma[1:] + ds[:-1] * sigma[:-1]) * d_log_t
+            ),
+        ]
     )
     rescaled -= rescaled[-1]
-    return {
-        "temp": out["temp"],
-        "entropy": entropy,
-        "rescaled_entropy": rescaled,
-        "d_entropy_d_log_temp": ds,
-        "log_temp": log_t,
-    }
+    return {"entropy": entropy, "rescaled_entropy": rescaled}

@@ -256,3 +256,43 @@ def test_metric_stats_adaptive_knn_runs():
         batch_size=64, regularize=True, adaptive_knn=True, knn_k=3,
     )
     assert np.all(np.isfinite(out["metric"])) and np.all(out["metric"] > 0)
+
+
+def test_empirical_entropy_golden_alignment():
+    """Artifact-level interop with the reference empirical-stats npz,
+    pinned by a torch-generated fixture (gen_empirical_entropy_golden.py)
+    rather than argued in a docstring: the reference appends the anchor
+    zero AFTER the cumsum (compute_stats_empirical.py:58-65), storing the
+    integral up to temp[k+1] at index k; we prepend it, so
+    ours[k+1] == reference[k] exactly (same dS/dlogT input)."""
+    import os
+
+    from pdm_tpu.stats.model_metric import integrate_entropy_curves
+
+    fix = np.load(
+        os.path.join(
+            os.path.dirname(__file__), "fixtures", "empirical_entropy_golden.npz"
+        )
+    )
+    temp = fix["temp"].astype(np.float64)
+    ds = fix["d_entropy_d_log_temp"].astype(np.float64)
+    ours = integrate_entropy_curves(ds, temp, np.log(temp))
+
+    for key in ("entropy", "rescaled_entropy"):
+        ref = fix[key].astype(np.float64)
+        got = ours[key]
+        # documented one-index alignment: ours is shifted one grid index
+        # late relative to the reference's trailing-edge pad
+        # fixture arrays are float32 (torch cumsum); ours recompute in
+        # float64 — tolerance covers fp32 accumulation only
+        np.testing.assert_allclose(got[1:], ref[:-1], rtol=1e-4, atol=5e-4)
+        # both anchor max-temperature entropy at 0
+        assert got[-1] == 0.0 and abs(ref[-2]) < 1e-5
+        # sanity vs the closed form: entropy drop from max-T to min-T is
+        # ~ integral of 0.5 d sigma0^2/(sigma0^2+T) dlogT
+        if key == "entropy":
+            d, s0 = float(fix["dim"]), float(fix["sigma0_sq"])
+            exact = -0.5 * d * (
+                np.log1p(s0 / temp[0]) - np.log1p(s0 / temp[-1])
+            )
+            assert abs(got[0] - exact) < 0.05 * abs(exact)
