@@ -1,8 +1,9 @@
-"""Matrix square root via Newton-Schulz iteration — jit-compiled, MXU-only.
+"""On-device matrix square roots for the Frechet distance.
 
-The Frechet distance needs sqrtm(Sigma1 @ Sigma2). SVD (the reference's
-route, utils/fid.py:16-18) doesn't map well onto TPU; the Newton-Schulz
-coupled iteration is pure matmuls:
+`trace_sqrtm_product` (the FID hot path) uses a symmetric-eigh
+reformulation — exact on rank-deficient covariances, see its docstring.
+`sqrtm_newton_schulz` remains for full-matrix square roots of
+well-conditioned SPD inputs — jit-compiled, MXU-only pure matmuls:
 
     Y_0 = A / ||A||_F,  Z_0 = I
     Y_{k+1} = 0.5 Y_k (3I - Z_k Y_k)
@@ -49,11 +50,43 @@ def sqrtm_newton_schulz(a: Array, num_iters: int = 20, eps: float = 1e-10) -> Ar
 
 
 @jax.jit
-def trace_sqrtm_product(sigma1: Array, sigma2: Array, eps: float = 1e-7) -> Array:
-    """tr(sqrtm(Sigma1 @ Sigma2)) with the reference's diagonal jitter."""
-    dim = sigma1.shape[0]
-    prod = jnp.dot(
-        sigma1, sigma2, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) + eps * jnp.eye(dim, dtype=jnp.float32)
-    return jnp.trace(sqrtm_newton_schulz(prod))
+def trace_sqrtm_product(sigma1: Array, sigma2: Array) -> Array:
+    """tr(sqrtm(Sigma1 @ Sigma2)) via the symmetric reformulation.
+
+    The round-3 dress rehearsal (scripts/dress_rehearsal.py) caught a
+    bias in the previous Newton-Schulz-on-the-product route: with
+    rank-deficient covariances (n_samples << feature_dim) the diagonal
+    jitter eps turned every zero eigenvalue of the product into
+    sqrt(eps) after the square root — at 2048-dim features and 64
+    samples that is -2 * ~1985 * sqrt(1e-7) = -1.25 of spurious FID,
+    driving the metric NEGATIVE. NS also amplifies null-space rounding
+    noise (the coupled iteration expands small eigenvalues by 1.5x per
+    step before converging).
+
+    Instead: Sigma1 = V diag(w) V^T (eigh, exact), S = sqrt(Sigma1)
+    symmetric; Sigma1 @ Sigma2 shares its nonzero spectrum with the
+    SYMMETRIC PSD matrix S @ Sigma2 @ S (cyclic trace property), so
+
+        tr sqrtm(Sigma1 Sigma2) = sum sqrt(max(eigvalsh(S Sigma2 S), 0))
+
+    with NO jitter: zero eigenvalues contribute exactly zero, making the
+    Frechet distance non-negative for valid moments at any sample count.
+    Two (F, F) eigh calls per FID evaluation (F = 2048) are a one-off
+    eval-time cost. The reference reaches the same robustness through
+    host-side SVD (utils/fid.py:16-18); eigh keeps it on-device."""
+    sigma1 = sigma1.astype(jnp.float32)
+    sigma2 = sigma2.astype(jnp.float32)
+    w, v = jnp.linalg.eigh(sigma1)
+    hp = jax.lax.Precision.HIGHEST
+    s_half = jnp.dot(
+        v * jnp.sqrt(jnp.maximum(w, 0.0))[None, :], v.T,
+        preferred_element_type=jnp.float32, precision=hp,
+    )
+    m = jnp.dot(
+        jnp.dot(s_half, sigma2, preferred_element_type=jnp.float32,
+                precision=hp),
+        s_half, preferred_element_type=jnp.float32, precision=hp,
+    )
+    m = 0.5 * (m + m.T)
+    ev = jnp.linalg.eigvalsh(m)
+    return jnp.sum(jnp.sqrt(jnp.maximum(ev, 0.0)))
