@@ -155,7 +155,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, l_ref, do_ref, dq_ref, dk_ref, dv_ref,
 
 
 def _img_spec(T: int, C: int):
-    # whole (T, C) activation tile of one image
+    # whole (T, C) activation tile of one image. One image per grid
+    # program is deliberate: an experiment batching 8 images per program
+    # (static in-kernel loop) measured SLOWER (1.41 vs 1.34 ms fwd, 2.87
+    # vs 2.65 ms bwd at B=256) — per-program dispatch is not the
+    # bottleneck, and larger blocks reduce Mosaic's copy/compute overlap
+    # granularity.
     return pl.BlockSpec(
         (1, T, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )

@@ -156,7 +156,10 @@ def make_eval_fn(
                 scheduler=scheduler,
                 n_steps=100,
                 obj_size=config.dataset_config.obj_size,
-                batch_size=min(500, n_fid),
+                # bs=64 is the measured UNet forward-throughput optimum
+                # on v5e (VMEM-resident 16x16 activations; round-3 batch
+                # sweep in bench.py) — ~30% faster than large batches
+                batch_size=min(64, n_fid),
                 n_samples=n_fid,
                 step_type="ddim",
             )
