@@ -27,8 +27,6 @@ correctness oracle in tests/test_attention.py.
 from __future__ import annotations
 
 import functools
-import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
