@@ -94,6 +94,15 @@ class ForwardStatsConfig(BaseModel):
     batch_size: int = Field(..., description="Trajectory batch size")
     dataloader_batch_size: int = Field(..., description="Dataset streaming chunk")
     n_temps: int = Field(..., description="Number of temperatures")
+    stream_chunk: Optional[int] = Field(
+        None,
+        description=(
+            "Host-streaming tier for datasets larger than HBM: keep the "
+            "dataset in host RAM and sweep it in device-resident chunks "
+            "of this many points (exact shift-stabilized moment merge; "
+            "single-device, no adaptive kNN)"
+        ),
+    )
 
 
 class EmpiricalStatsConfig(BaseModel):

@@ -373,3 +373,55 @@ def boltzmann_moments_shard_body(
     )
     sy_g = None if sy is None else jax.lax.psum(sy * c[:, None], axis_name)
     return _finalize(_RawAcc(m_g, s0_g, s1_g, s2_g, sy_g))
+
+
+# ---------------------------------------------------------------------------
+# Host streaming: datasets larger than HBM
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def merge_moments(a: BoltzmannMoments, b: BoltzmannMoments) -> BoltzmannMoments:
+    """Exact two-way merge of shift-stabilized Boltzmann moments.
+
+    The sequential (host-chunk) analogue of the shard_map merge above
+    (`boltzmann_moments_shard_body`): global shift via max, rescale each
+    side's partition sums by exp(m - m_g), add. Shapes broadcast, so the
+    same function merges the single-temperature (B,) layout and the sweep
+    (n_temps, B) layout; `mean` merges partition-weighted when present.
+
+    This is what lets the stats estimators stream a dataset the reference
+    walks with a host dataloader (utils/stats.py:276-280) through device-
+    resident chunks when N exceeds HBM (e.g. the 1.28M-point image-net
+    config): per-chunk moments from the fused kernels, then this merge —
+    bit-for-bit the same math as the multi-chip psum path.
+    """
+    m_g = jnp.maximum(a.shift, b.shift)
+
+    def side(mom):
+        finite = jnp.isfinite(mom.shift)
+        c = jnp.where(finite, jnp.exp(mom.shift - m_g), 0.0)
+        delta = jnp.where(finite, m_g - mom.shift, 0.0)
+        s0 = jnp.exp(mom.log_z - mom.shift)
+        s1 = mom.e1_hat * s0
+        s2 = mom.e2_hat * s0
+        s0n = s0 * c
+        s1n = (s1 + delta * s0) * c
+        s2n = (s2 + 2.0 * delta * s1 + jnp.square(delta) * s0) * c
+        return s0n, s1n, s2n
+
+    s0a, s1a, s2a = side(a)
+    s0b, s1b, s2b = side(b)
+    s0_g = s0a + s0b
+    mean_g = None
+    if a.mean is not None and b.mean is not None:
+        wa = (s0a / s0_g)[..., None]
+        wb = (s0b / s0_g)[..., None]
+        mean_g = a.mean * wa + b.mean * wb
+    return BoltzmannMoments(
+        log_z=m_g + jnp.log(s0_g),
+        shift=m_g,
+        e1_hat=(s1a + s1b) / s0_g,
+        e2_hat=(s2a + s2b) / s0_g,
+        mean=mean_g,
+    )

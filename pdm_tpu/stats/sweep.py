@@ -134,6 +134,7 @@ def thermo_sweep(
     sigma_reg_scale: float = 1.0,
     global_sigma_reg_sq: float = 1e-3,
     mesh=None,
+    stream_chunk: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Full MC sweep: entropy, free energy, heat capacity, metric.
 
@@ -142,7 +143,27 @@ def thermo_sweep(
     Returns the union of both reference artifact contracts:
     temp / entropy / free_energy / heat_capacity / metric / log_temp /
     dataset_tr_sigma0.
+
+    ``stream_chunk``: host-streaming tier for datasets larger than HBM
+    (the reference walks these with a dataloader, utils/stats.py:276-280).
+    ``data`` stays a host numpy array; each MC batch visits it in
+    device-resident chunks of this many points through the fused sweep
+    kernel, and the per-chunk moments combine with the exact
+    shift-stabilized merge (ops/boltzmann.merge_moments — the same math
+    as the multi-chip psum path). Mutually exclusive with ``mesh`` and
+    ``adaptive_knn`` (the k-NN graph needs the dataset on device).
     """
+    if stream_chunk is not None:
+        if mesh is not None or adaptive_knn:
+            raise ValueError(
+                "stream_chunk is a single-device host-streaming path; "
+                "it cannot combine with mesh= or adaptive_knn"
+            )
+        return _thermo_sweep_streamed(
+            key, data, temp, n_samples, batch_size, stream_chunk,
+            regularize=regularize,
+            global_sigma_reg_sq=global_sigma_reg_sq,
+        )
     data2d = jnp.reshape(data, (data.shape[0], -1))
     n, d = data2d.shape
     temp_j = jnp.asarray(temp, jnp.float32)
@@ -252,16 +273,104 @@ def thermo_sweep(
     }
 
 
+def _thermo_sweep_streamed(
+    key: jax.Array,
+    data,  # host np.ndarray (N, ...) — never fully device-resident
+    temp: np.ndarray,
+    n_samples: int,
+    batch_size: int,
+    stream_chunk: int,
+    *,
+    regularize: bool,
+    global_sigma_reg_sq: float,
+) -> Dict[str, np.ndarray]:
+    """>HBM dataset tier of thermo_sweep: device-resident chunks through
+    the fused sweep kernel, per-chunk moments combined with the exact
+    shift-stabilized merge. The shared noise draw per MC batch (common
+    random numbers) is reused across chunks AND temperatures, so the
+    result is numerically the single-shot sweep up to fp rounding — see
+    tests/test_stats.py::test_thermo_sweep_streamed_matches_device."""
+    from ..ops.boltzmann import merge_moments
+    from ..ops.boltzmann_sweep import SWEEP_PRECISION, boltzmann_sweep
+
+    data_np = np.reshape(np.asarray(data), (np.asarray(data).shape[0], -1))
+    n, d = data_np.shape
+    temp_j = jnp.asarray(temp, jnp.float32)
+
+    sweep_jit = jax.jit(
+        lambda x0, eps, y: boltzmann_sweep(
+            x0, eps, y, temp_j, mxu_precision=SWEEP_PRECISION
+        )
+    )
+    merge = merge_moments  # jitted
+
+    entropy_acc, free_energy_acc, var_chunks = [], [], []
+    # dataset trace-of-covariance, streamed in float64 (one pass)
+    s1 = np.zeros(d, np.float64)
+    s2 = np.zeros(d, np.float64)
+    for off in range(0, n, stream_chunk):
+        c = data_np[off : off + stream_chunk].astype(np.float64)
+        s1 += c.sum(axis=0)
+        s2 += np.square(c).sum(axis=0)
+    tr_sigma0 = float(((s2 - np.square(s1) / n) / (n - 1)).sum())
+
+    seen = 0
+    bi = 0
+    while seen < n_samples:
+        bs = min(batch_size, n_samples - seen)
+        key, sub = jax.random.split(key)
+        idx = np.asarray(jax.random.randint(sub, (bs,), 0, n))
+        x0 = jnp.asarray(data_np[idx], jnp.float32)
+        eps = jax.random.normal(jax.random.fold_in(key, bi), x0.shape)
+        mom = None
+        for off in range(0, n, stream_chunk):
+            y = jnp.asarray(
+                data_np[off : off + stream_chunk], jnp.float32
+            )
+            m = sweep_jit(x0, eps, y)
+            mom = m if mom is None else merge(mom, m)
+        entropy_acc.append(
+            np.asarray(jnp.mean(mom.entropy(n), axis=1)) * bs
+        )
+        free_energy_acc.append(
+            np.asarray(jnp.mean(-temp_j[:, None] * mom.log_z, axis=1)) * bs
+        )
+        var_chunks.append(np.asarray(mom.var))
+        seen += bs
+        bi += 1
+
+    entropy = np.sum(entropy_acc, axis=0) / seen
+    free_energy = np.sum(free_energy_acc, axis=0) / seen
+    var_g = np.concatenate(var_chunks, axis=1)
+    metric = _regularized_metric(
+        var_g, np.asarray(temp, np.float64), regularize, None,
+        global_sigma_reg_sq,
+    )
+    return {
+        "temp": np.asarray(temp),
+        "entropy": entropy,
+        "free_energy": free_energy,
+        "heat_capacity": var_g.mean(axis=1),
+        "metric": metric,
+        "log_temp": np.log(np.asarray(temp)),
+        "dataset_tr_sigma0": np.asarray(tr_sigma0),
+    }
+
+
 def forward_stats(
     key: jax.Array, data: Array, temp: np.ndarray, n_samples: int = 1024,
-    batch_size: int = 1024, *, mesh=None,
+    batch_size: int = 1024, *, mesh=None, stream_chunk: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Reference forward-stats artifact contract: {temp, entropy}.
 
     Parity: utils/stats.py compute_stats + scripts/compute_stats_forward.py.
     ``mesh``: shard the dataset axis over the mesh 'data' axis.
+    ``stream_chunk``: host-streaming tier for >HBM datasets (thermo_sweep).
     """
-    out = thermo_sweep(key, data, temp, n_samples, batch_size, mesh=mesh)
+    out = thermo_sweep(
+        key, data, temp, n_samples, batch_size, mesh=mesh,
+        stream_chunk=stream_chunk,
+    )
     # superset of the reference contract: consumers key on temp/entropy,
     # the extra thermodynamic curves come free from the fused sweep
     return {
@@ -284,16 +393,19 @@ def metric_stats(
     knn_k: int = 5,
     sigma_reg_scale: float = 1.0,
     mesh=None,
+    stream_chunk: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Reference metric-stats artifact contract:
     {temp, metric, log_temp, dataset_tr_sigma0}.
 
     Parity: utils/stats.py compute_metric_stats.
+    ``stream_chunk``: host-streaming tier for >HBM datasets (thermo_sweep).
     """
     out = thermo_sweep(
         key, data, temp, n_samples, batch_size,
         regularize=regularize, adaptive_knn=adaptive_knn, knn_k=knn_k,
         sigma_reg_scale=sigma_reg_scale, mesh=mesh,
+        stream_chunk=stream_chunk,
     )
     return {
         "temp": out["temp"],

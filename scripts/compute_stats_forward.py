@@ -17,16 +17,24 @@ def main(config: Config) -> None:
 
     from pdm_tpu.parallel.mesh import mesh_from_config
     from pdm_tpu.stats.sweep import forward_stats
-    from pdm_tpu.utils.data import get_data_tensor
+    from pdm_tpu.utils.data import get_data_array, get_data_tensor
 
     ensure_dirs("stats")
-    mesh = mesh_from_config(
-        config.parallel, batch_size=config.forward_stats.batch_size
-    )
+    stream_chunk = config.forward_stats.stream_chunk
+    mesh = None
+    if stream_chunk is None:
+        mesh = mesh_from_config(
+            config.parallel, batch_size=config.forward_stats.batch_size
+        )
     for dataset_name in config.available_datasets:
         print(dataset_name)
         config.dataset_name = dataset_name
-        data = get_data_tensor(config)
+        # stream_chunk: the dataset stays in host RAM and sweeps through
+        # device-resident chunks (>HBM tier); otherwise device-resident
+        data = (
+            get_data_array(config) if stream_chunk is not None
+            else get_data_tensor(config)
+        )
         temp = temp_grid(*config.dataset_config.temp_range,
                          config.forward_stats.n_temps)
         stats = forward_stats(
@@ -34,6 +42,7 @@ def main(config: Config) -> None:
             n_samples=config.forward_stats.n_samples,
             batch_size=config.forward_stats.batch_size,
             mesh=mesh,
+            stream_chunk=stream_chunk,
         )
         np.savez(config.forward_stats_path, **stats)
         print(f"saved {config.forward_stats_path}")

@@ -28,13 +28,26 @@ def main() -> None:
     parser.add_argument("--knn_k", type=int, default=5)
     parser.add_argument("--sigma_reg_scale", type=float, default=1e-4)
     parser.add_argument("--dataset", type=str, default=None)
+    parser.add_argument(
+        "--stream_chunk", type=int, default=None,
+        help="host-streaming tier for >HBM datasets: dataset stays in "
+        "host RAM, swept in device chunks of this many points "
+        "(single-device; incompatible with --adaptive_knn)",
+    )
     args = parser.parse_args()
 
     config = load_config()
     if args.dataset:
         config.dataset_name = args.dataset
     ensure_dirs("stats")
-    data = get_data_tensor(config)
+    if args.stream_chunk is not None:
+        from pdm_tpu.utils.data import get_data_array
+
+        data = get_data_array(config)
+        mesh = None
+    else:
+        data = get_data_tensor(config)
+        mesh = mesh_from_config(config.parallel)
     temp = temp_grid(*config.dataset_config.temp_range, args.n_temps)
     stats = metric_stats(
         jax.random.PRNGKey(0), data, temp,
@@ -44,7 +57,8 @@ def main() -> None:
         adaptive_knn=args.adaptive_knn,
         knn_k=args.knn_k,
         sigma_reg_scale=args.sigma_reg_scale,
-        mesh=mesh_from_config(config.parallel),
+        mesh=mesh,
+        stream_chunk=args.stream_chunk,
     )
     np.savez(config.metric_stats_path, **stats)
     print(f"saved {config.metric_stats_path}")

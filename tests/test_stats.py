@@ -296,3 +296,96 @@ def test_empirical_entropy_golden_alignment():
                 np.log1p(s0 / temp[0]) - np.log1p(s0 / temp[-1])
             )
             assert abs(got[0] - exact) < 0.05 * abs(exact)
+
+
+def test_merge_moments_exact():
+    """merge_moments(chunk A, chunk B) must equal the single-shot op on
+    the concatenated dataset — the host-streaming analogue of the
+    shard_map psum merge, for both moment layouts."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdm_tpu.ops.boltzmann import boltzmann_moments, merge_moments
+    from pdm_tpu.ops.boltzmann_sweep import boltzmann_sweep
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.standard_normal((8, 12)), jnp.float32)
+    ya = jnp.asarray(rng.standard_normal((37, 12)), jnp.float32)
+    yb = jnp.asarray(rng.standard_normal((21, 12)), jnp.float32)
+    y = jnp.concatenate([ya, yb], axis=0)
+
+    # single-temperature layout (B,), with the mean channel
+    inv_t = 1.0 / 0.37
+    full = boltzmann_moments(x, y, inv_temp=inv_t, compute_mean=True)
+    merged = merge_moments(
+        boltzmann_moments(x, ya, inv_temp=inv_t, compute_mean=True),
+        boltzmann_moments(x, yb, inv_temp=inv_t, compute_mean=True),
+    )
+    for name in ("log_z", "e1_hat", "e2_hat"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(merged, name)),
+            np.asarray(getattr(full, name)), rtol=1e-5, atol=1e-5,
+            err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(merged.mean), np.asarray(full.mean), rtol=1e-5,
+        atol=1e-5,
+    )
+    # shift-invariant derived quantities
+    np.testing.assert_allclose(
+        np.asarray(merged.entropy(58)), np.asarray(full.entropy(58)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # sweep layout (n_temps, B)
+    eps = jnp.asarray(rng.standard_normal((8, 12)), jnp.float32)
+    temps = jnp.asarray(np.logspace(-2, 1, 7), jnp.float32)
+    full_s = boltzmann_sweep(x, eps, y, temps)
+    merged_s = merge_moments(
+        boltzmann_sweep(x, eps, ya, temps),
+        boltzmann_sweep(x, eps, yb, temps),
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged_s.log_z), np.asarray(full_s.log_z), rtol=1e-5,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged_s.var), np.asarray(full_s.var), rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_thermo_sweep_streamed_matches_device():
+    """The >HBM host-streaming tier must reproduce the device-resident
+    sweep: same MC protocol (same keys, same shared noise), dataset
+    visited in 3 uneven chunks, exact moment merge."""
+    import jax
+
+    from pdm_tpu.stats.sweep import thermo_sweep
+
+    rng = np.random.RandomState(3)
+    data = rng.standard_normal((130, 6)).astype(np.float32)
+    temp = np.logspace(-2, 1, 9)
+
+    device = thermo_sweep(
+        jax.random.PRNGKey(0), jnp.asarray(data), temp, n_samples=64,
+        batch_size=64,
+    )
+    streamed = thermo_sweep(
+        jax.random.PRNGKey(0), data, temp, n_samples=64, batch_size=64,
+        stream_chunk=48,
+    )
+    for key in ("entropy", "free_energy", "heat_capacity", "metric"):
+        np.testing.assert_allclose(
+            streamed[key], device[key], rtol=1e-4, atol=1e-5, err_msg=key
+        )
+    np.testing.assert_allclose(
+        streamed["dataset_tr_sigma0"], device["dataset_tr_sigma0"],
+        rtol=1e-5,
+    )
+
+    with pytest.raises(ValueError):
+        thermo_sweep(
+            jax.random.PRNGKey(0), data, temp, n_samples=8, batch_size=8,
+            stream_chunk=48, adaptive_knn=True, regularize=True,
+        )
