@@ -125,6 +125,10 @@ class DDPMTrainer:
     eval_fn: Optional[Callable[[UNetDDPM, int], Dict[str, float]]] = None
     log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None
     checkpoint_every: Optional[int] = None  # defaults to eval_steps
+    # retention: keep this many newest COMPLETE checkpoints (the published
+    # one always survives). None = keep everything. At the reference's
+    # 1.5M-iter recipe, unbounded step_{n} dirs are ~280 GB of disk.
+    keep_checkpoints: Optional[int] = 3
     horizontal_flip: bool = False  # on-device per-batch augmentation
     timer: Optional[object] = None  # utils.profiling.PhaseTimer
     # dropout-mask generator: "rbg" (hardware RngBitGenerator, measured
@@ -255,6 +259,33 @@ class DDPMTrainer:
             with open(latest, "w") as f:
                 f.write(str(step))
             self._pending_step = None
+        self._prune_checkpoints(published=step)
+
+    def _prune_checkpoints(self, published: int) -> None:
+        """Delete step_{n} dirs beyond the ``keep_checkpoints`` newest.
+
+        Crash-safe by construction: only steps STRICTLY OLDER than the
+        just-published one are candidates (an in-flight newer save is
+        never touched), and the published checkpoint itself is always
+        retained, so latest.txt always points at an existing complete
+        save."""
+        if self.keep_checkpoints is None or self.checkpoint_dir is None:
+            return
+        import re
+        import shutil
+
+        steps = []
+        for name in os.listdir(self.checkpoint_dir):
+            m = re.fullmatch(r"step_(\d+)", name)
+            if m and int(m.group(1)) < published:
+                steps.append(int(m.group(1)))
+        steps.sort(reverse=True)
+        # the published save counts toward the retention budget
+        for s in steps[max(self.keep_checkpoints - 1, 0):]:
+            shutil.rmtree(
+                os.path.join(self.checkpoint_dir, f"step_{s}"),
+                ignore_errors=True,
+            )
 
     def save_checkpoint(
         self, state: TrainState, step: int, block: bool = True

@@ -136,6 +136,41 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_checkpoint_retention(tmp_path):
+    """keep_checkpoints prunes old step_{n} dirs after each publish; the
+    published checkpoint always survives and remains restorable. At the
+    reference's 1.5M-iter recipe unbounded retention is ~280 GB of disk."""
+    trainer = make_trainer(tmp_path / "ckpt")
+    trainer.keep_checkpoints = 2
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
+    import dataclasses
+
+    state = trainer.init_state()
+    for step in (5, 10, 15, 20):
+        trainer.save_checkpoint(
+            dataclasses.replace(state, step=jnp.asarray(step)), step
+        )
+    kept = sorted(
+        d for d in os.listdir(tmp_path / "ckpt") if d.startswith("step_")
+    )
+    assert kept == ["step_15", "step_20"], kept
+    assert trainer.latest_checkpoint_step() == 20
+    restored = trainer.load_checkpoint(trainer.init_state(), 20)
+    assert int(restored.step) == 20
+    # keep_checkpoints=None keeps everything
+    trainer2 = make_trainer(tmp_path / "ckpt2")
+    trainer2.keep_checkpoints = None
+    os.makedirs(tmp_path / "ckpt2", exist_ok=True)
+    for step in (1, 2, 3):
+        trainer2.save_checkpoint(
+            dataclasses.replace(state, step=jnp.asarray(step)), step
+        )
+    kept2 = sorted(
+        d for d in os.listdir(tmp_path / "ckpt2") if d.startswith("step_")
+    )
+    assert kept2 == ["step_1", "step_2", "step_3"], kept2
+
+
 def test_train_loop_with_resume(tmp_path):
     ckpt = tmp_path / "loop_ckpt"
     os.makedirs(ckpt, exist_ok=True)
