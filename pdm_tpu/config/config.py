@@ -59,6 +59,14 @@ class DDPMTrainingConfig(BaseModel):
     warmup_steps: int = Field(..., description="LR warmup steps")
     betas: Tuple[float, float] = Field(..., description="Adam betas")
     grad_clip: float = Field(..., description="Global gradient-norm clip")
+    keep_checkpoints: Optional[int] = Field(
+        3,
+        description=(
+            "Keep this many newest complete checkpoints (latest.txt's "
+            "target always survives); null keeps every step_{n} dir "
+            "(~280 GB at the reference's 1.5M-iter cadence)"
+        ),
+    )
     use_wandb: bool = Field(
         False,
         description=(

@@ -126,9 +126,12 @@ class DDPMTrainer:
     log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None
     checkpoint_every: Optional[int] = None  # defaults to eval_steps
     # retention: keep this many newest COMPLETE checkpoints (the published
-    # one always survives). None = keep everything. At the reference's
-    # 1.5M-iter recipe, unbounded step_{n} dirs are ~280 GB of disk.
-    keep_checkpoints: Optional[int] = 3
+    # one always survives). None (the library default) keeps everything —
+    # pruning is destructive, so it is opt-in; the config-driven recipe
+    # (ddpm_training.keep_checkpoints, YAML default 3) enables it, since
+    # at the reference's 1.5M-iter cadence unbounded step_{n} dirs are
+    # ~280 GB of disk.
+    keep_checkpoints: Optional[int] = None
     horizontal_flip: bool = False  # on-device per-batch augmentation
     timer: Optional[object] = None  # utils.profiling.PhaseTimer
     # dropout-mask generator: "rbg" (hardware RngBitGenerator, measured

@@ -21,6 +21,21 @@ from .unet import unet_from_config
 from .unet_ddpm import UNetDDPM, init_unet_ddpm
 
 
+def _mesh_requested(config: Config) -> bool:
+    """True when this run will execute under a multi-device mesh — the
+    same decision mesh_from_config makes, without constructing a Mesh."""
+    import jax as _jax
+
+    par = getattr(config, "parallel", None)
+    if par is None:
+        return False
+    model = max(1, int(par.model_axis))
+    data = par.data_axis
+    if data is None:
+        return len(_jax.devices()) > 1 or model > 1
+    return int(data) > 1 or model > 1
+
+
 def ddpm_from_config(
     config: Config,
     pretrained: bool = False,
@@ -35,6 +50,13 @@ def ddpm_from_config(
         module = unet_from_config(
             config.dataset_config.channels, config.ddpm.unet_config, dtype=dtype
         )
+        # Mesh runs must use the XLA attention path: GSPMD cannot
+        # partition the Mosaic custom call, so a batch-sharded step would
+        # all-gather full activations around it (see UNet2D.fused_attention)
+        if _mesh_requested(config):
+            import dataclasses
+
+            module = dataclasses.replace(module, fused_attention=False)
         ddpm = init_unet_ddpm(
             key if key is not None else jax.random.PRNGKey(0),
             scheduler,

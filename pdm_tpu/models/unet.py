@@ -138,6 +138,8 @@ class AttentionBlock(nn.Module):
     # optional NamedSharding for (B, heads, S, hd) tensors: tensor-parallel
     # attention shards the head axis over the mesh 'model' axis
     head_sharding: Any = None
+    # see UNet2D.fused_attention: must be False under a multi-device mesh
+    fused_attention: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -162,7 +164,7 @@ class AttentionBlock(nn.Module):
         )
 
         scale = 1.0 / math.sqrt(hd)
-        if self.head_sharding is None and use_fused_attention(
+        if self.fused_attention and self.head_sharding is None and use_fused_attention(
             H * W, C, heads
         ):
             # one VMEM-resident Pallas program per (batch, head): no HBM
@@ -260,6 +262,13 @@ class UNet2D(nn.Module):
     # tensors (head axis over 'model'). Set via parallel.mesh.unet_with_tp.
     act_sharding: Any = None
     head_sharding: Any = None
+    # Pallas fused attention (ops/attention.py). Disable for MESH runs:
+    # GSPMD cannot partition the Mosaic custom call, so a batch-sharded
+    # pjit step would all-gather full q/k/v activations around it (or
+    # fail to lower) — the XLA einsum path partitions cleanly. The
+    # config factory (ddpm_from_config) clears this automatically when
+    # config.parallel requests a multi-device mesh.
+    fused_attention: bool = True
 
     def _constrain(self, h: Array) -> Array:
         if self.act_sharding is not None:
@@ -288,6 +297,7 @@ class UNet2D(nn.Module):
                 norm_eps=self.norm_eps, dtype=self.dtype,
                 norm_dtype=self.norm_dtype, name=name,
                 head_sharding=self.head_sharding,
+                fused_attention=self.fused_attention,
             )
 
         h = nn.Conv(ch0, (3, 3), padding=1, name="conv_in", dtype=self.dtype)(

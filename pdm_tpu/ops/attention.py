@@ -34,7 +34,15 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# (T, T) fp32 scores + q/k/v/o tiles per program must fit VMEM comfortably
+# Per-program VMEM budget: the dominant transients are the (T, heads*T)
+# fp32 score/ds tensors (the block-diagonal packing) plus the bf16
+# probability and K/V tiles — roughly 10 bytes per (T, heads*T) cell.
+# Cap heads*T^2 so that footprint stays well under the ~16 MB/core VMEM
+# the Mosaic compiler can schedule around (2^21 cells ~ 20 MB transient
+# peak at the flagship's heads=4, T=256: 2.6 MB). Bounding T alone is not
+# enough: T=1024 with 4 heads passes a token cap but needs a 16 MB fp32
+# score tile alone.
+MAX_FUSED_SCORE_CELLS = 1 << 21  # heads * T * T
 MAX_FUSED_TOKENS = 1024
 
 
@@ -264,6 +272,7 @@ def use_fused_attention(T: int, C: int, heads: int) -> bool:
         return False
     return (
         T <= MAX_FUSED_TOKENS
+        and heads * T * T <= MAX_FUSED_SCORE_CELLS
         and C % heads == 0
         and (C // heads) % 8 == 0
         and T % 8 == 0

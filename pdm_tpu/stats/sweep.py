@@ -65,7 +65,7 @@ def _sweep_batch(
     XLA per-temperature pass is used with the same shared noise. With
     ``axis_name`` set (under shard_map), ``data`` is this chip's dataset
     shard and the accumulators psum-merge across the mesh."""
-    from ..ops.boltzmann_sweep import SWEEP_PRECISION, boltzmann_sweep
+    from ..ops.boltzmann_sweep import boltzmann_sweep
 
     n_objects = data.shape[0]
     if axis_name is not None:
@@ -86,10 +86,11 @@ def _sweep_batch(
 
             y_hi, y_lo, ysq = prep_pack
             y_arg = PreparedY(y_hi, y_lo, ysq, n_true, data.shape[1])
-        mom = boltzmann_sweep(
-            x0, eps, y_arg, temp, values=values,
-            mxu_precision=SWEEP_PRECISION,
-        )
+        # mxu_precision=None resolves the env-var policy at CALL time
+        # (PDM_SWEEP_PRECISION > PDM_BOLTZMANN_PRECISION > fp32), keeping
+        # the one-knob contract with boltzmann_moments/knn even if the
+        # env changes after import
+        mom = boltzmann_sweep(x0, eps, y_arg, temp, values=values)
 
     t_col = temp[:, None]
     return {
@@ -199,9 +200,9 @@ def thermo_sweep(
         and os.environ.get("PDM_SWEEP_IMPL", "pallas") != "xla"
     ):
         from ..ops.boltzmann_pallas import prepare_y
-        from ..ops.boltzmann_sweep import SWEEP_PRECISION
+        from ..ops.boltzmann_sweep import sweep_precision_mode
 
-        prep = prepare_y(data2d, SWEEP_PRECISION)
+        prep = prepare_y(data2d, sweep_precision_mode())
         prep_pack, n_true = (prep.y_hi, prep.y_lo, prep.ysq), prep.n
     if mesh is not None:
         # dataset axis sharded over the mesh 'data' axis: each chip streams
@@ -291,16 +292,14 @@ def _thermo_sweep_streamed(
     result is numerically the single-shot sweep up to fp rounding — see
     tests/test_stats.py::test_thermo_sweep_streamed_matches_device."""
     from ..ops.boltzmann import merge_moments
-    from ..ops.boltzmann_sweep import SWEEP_PRECISION, boltzmann_sweep
+    from ..ops.boltzmann_sweep import boltzmann_sweep
 
     data_np = np.reshape(np.asarray(data), (np.asarray(data).shape[0], -1))
     n, d = data_np.shape
     temp_j = jnp.asarray(temp, jnp.float32)
 
     sweep_jit = jax.jit(
-        lambda x0, eps, y: boltzmann_sweep(
-            x0, eps, y, temp_j, mxu_precision=SWEEP_PRECISION
-        )
+        lambda x0, eps, y: boltzmann_sweep(x0, eps, y, temp_j)
     )
     merge = merge_moments  # jitted
 
@@ -314,6 +313,13 @@ def _thermo_sweep_streamed(
         s2 += np.square(c).sum(axis=0)
     tr_sigma0 = float(((s2 - np.square(s1) / n) / (n - 1)).sum())
 
+    # Draw every MC batch's trajectory starts and shared noise up front
+    # (n_samples x D fp32 — e.g. 100 MB for 2000 image-net-64 starts),
+    # then iterate CHUNK-OUTER / batch-inner: the dataset crosses
+    # host->device exactly once for the whole sweep instead of once per
+    # MC batch, and each chunk's device upload (and Pallas prepare) is
+    # amortized over all batches.
+    batches = []  # [(x0, eps, bs)]
     seen = 0
     bi = 0
     while seen < n_samples:
@@ -322,13 +328,18 @@ def _thermo_sweep_streamed(
         idx = np.asarray(jax.random.randint(sub, (bs,), 0, n))
         x0 = jnp.asarray(data_np[idx], jnp.float32)
         eps = jax.random.normal(jax.random.fold_in(key, bi), x0.shape)
-        mom = None
-        for off in range(0, n, stream_chunk):
-            y = jnp.asarray(
-                data_np[off : off + stream_chunk], jnp.float32
-            )
+        batches.append((x0, eps, bs))
+        seen += bs
+        bi += 1
+
+    moms = [None] * len(batches)
+    for off in range(0, n, stream_chunk):
+        y = jnp.asarray(data_np[off : off + stream_chunk], jnp.float32)
+        for i, (x0, eps, _) in enumerate(batches):
             m = sweep_jit(x0, eps, y)
-            mom = m if mom is None else merge(mom, m)
+            moms[i] = m if moms[i] is None else merge(moms[i], m)
+
+    for mom, (_, _, bs) in zip(moms, batches):
         entropy_acc.append(
             np.asarray(jnp.mean(mom.entropy(n), axis=1)) * bs
         )
@@ -336,8 +347,6 @@ def _thermo_sweep_streamed(
             np.asarray(jnp.mean(-temp_j[:, None] * mom.log_z, axis=1)) * bs
         )
         var_chunks.append(np.asarray(mom.var))
-        seen += bs
-        bi += 1
 
     entropy = np.sum(entropy_acc, axis=0) / seen
     free_energy = np.sum(free_energy_acc, axis=0) / seen

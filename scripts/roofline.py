@@ -190,7 +190,11 @@ def main():
         record("conv", f"bf16 b{b} {hw}x{hw} {cin}->{cout} k{ks} reps={reps}", tf, dt)
 
     best = max(rows, key=lambda r: r[2])
-    best_bf16 = max((r for r in rows if "bf16" in r[1]), key=lambda r: r[2])
+    # pure-bf16 rows only: "f32-default(bf16_3x)" also contains the
+    # substring "bf16" but is an fp32 measurement
+    best_bf16 = max(
+        (r for r in rows if r[1].startswith("bf16")), key=lambda r: r[2]
+    )
     print(
         json.dumps({
             "best_tflops": round(best[2], 1),

@@ -42,6 +42,7 @@ def main(config: Config) -> None:
         grad_clip=tc.grad_clip,
         ema_decay=tc.ema_decay,
         eval_steps=tc.eval_steps,
+        keep_checkpoints=tc.keep_checkpoints,
         checkpoint_dir=config.checkpoint_dir,
         eval_fn=make_eval_fn(config, data, logger=logger),
         log_fn=logger,

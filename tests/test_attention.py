@@ -88,6 +88,10 @@ def test_use_fused_attention_gating(monkeypatch):
     assert use_fused_attention(256, 256, 4) == on_tpu
     assert not use_fused_attention(2048, 256, 4)  # too many tokens
     assert not use_fused_attention(256, 255, 4)  # C not divisible
+    # VMEM budget: heads*T^2 capped — T=1024 with 4 heads needs a 16 MB
+    # fp32 score tile per program and must fall back to XLA
+    assert not use_fused_attention(1024, 256, 4)
+    assert use_fused_attention(1024, 128, 1) == on_tpu  # 1M cells: fits
     monkeypatch.setenv("PDM_FUSED_ATTN", "0")
     assert not use_fused_attention(256, 256, 4)
 
