@@ -56,7 +56,9 @@ def ddpm_from_config(
         if _mesh_requested(config):
             import dataclasses
 
-            module = dataclasses.replace(module, fused_attention=False)
+            module = dataclasses.replace(
+                module, fused_attention=False, fused_groupnorm=False
+            )
         ddpm = init_unet_ddpm(
             key if key is not None else jax.random.PRNGKey(0),
             scheduler,

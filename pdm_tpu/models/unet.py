@@ -68,6 +68,49 @@ class TimeEmbedding(nn.Module):
         return nn.Dense(self.embed_dim, name="linear_2")(h)
 
 
+class FusedGroupNormAct(nn.Module):
+    """GroupNorm (+ optional SiLU) with ``nn.GroupNorm``'s parameter tree
+    (scale/bias under this module's name — checkpoint-compatible).
+
+    Default path: a flax-identical fp32 norm (XLA fuses the
+    normalize+SiLU+cast chain into the adjacent convs). With
+    ``PDM_FUSED_GN=1`` on TPU it runs the one-pass Pallas kernel
+    (ops/groupnorm.py) instead — measured SLOWER end-to-end on the
+    flagship (50 small pallas_calls pay more fixed dispatch than they
+    save in HBM traffic; see use_fused_groupnorm), so opt-in only.
+    """
+
+    num_groups: int
+    epsilon: float
+    act: str = "none"  # "silu" | "none"
+    dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
+    fused: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        B, H, W, C = x.shape
+        scale = self.param("scale", nn.initializers.ones_init(), (C,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (C,))
+        from ..ops.groupnorm import (
+            fused_group_norm_act, group_norm_reference, use_fused_groupnorm,
+        )
+
+        if self.fused and use_fused_groupnorm(
+            H * W, C, self.num_groups, dtype=x.dtype
+        ):
+            y = fused_group_norm_act(
+                x.reshape(B, H * W, C), scale, bias, self.num_groups,
+                self.epsilon, self.act,
+            )
+        else:
+            y = group_norm_reference(
+                x.reshape(B, H * W, C), scale, bias, self.num_groups,
+                self.epsilon, self.act, norm_dtype=self.norm_dtype,
+            )
+        return y.reshape(B, H, W, C).astype(self.dtype)
+
+
 class ResnetBlock(nn.Module):
     out_channels: int
     dropout: float
@@ -75,15 +118,19 @@ class ResnetBlock(nn.Module):
     norm_eps: float
     dtype: Any = jnp.float32
     norm_dtype: Any = jnp.float32
+    fused_groupnorm: bool = True
+
+    def _norm_act(self, name):
+        return FusedGroupNormAct(
+            num_groups=self.norm_groups, epsilon=self.norm_eps, act="silu",
+            dtype=self.dtype, norm_dtype=self.norm_dtype,
+            fused=self.fused_groupnorm, name=name,
+        )
 
     @nn.compact
     def __call__(self, x: Array, temb: Array, *, deterministic: bool) -> Array:
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(
-            num_groups=self.norm_groups, epsilon=self.norm_eps, name="norm1",
-            dtype=self.norm_dtype,
-        )(x)
-        h = nn.silu(h).astype(self.dtype)
+        h = self._norm_act("norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", dtype=self.dtype)(h)
 
         t = nn.Dense(self.out_channels, name="time_emb_proj", dtype=self.dtype)(
@@ -91,11 +138,7 @@ class ResnetBlock(nn.Module):
         )
         h = h + t[:, None, None, :]
 
-        h = nn.GroupNorm(
-            num_groups=self.norm_groups, epsilon=self.norm_eps, name="norm2",
-            dtype=self.norm_dtype,
-        )(h)
-        h = nn.silu(h).astype(self.dtype)
+        h = self._norm_act("norm2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", dtype=self.dtype)(h)
 
@@ -140,17 +183,19 @@ class AttentionBlock(nn.Module):
     head_sharding: Any = None
     # see UNet2D.fused_attention: must be False under a multi-device mesh
     fused_attention: bool = True
+    fused_groupnorm: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         B, H, W, C = x.shape
         heads = max(1, C // self.head_dim)
         hd = C // heads
-        h = nn.GroupNorm(
-            num_groups=self.norm_groups, epsilon=self.norm_eps,
-            name="group_norm", dtype=self.norm_dtype,
+        h = FusedGroupNormAct(
+            num_groups=self.norm_groups, epsilon=self.norm_eps, act="none",
+            dtype=self.dtype, norm_dtype=self.norm_dtype,
+            fused=self.fused_groupnorm, name="group_norm",
         )(x)
-        h = h.reshape(B, H * W, C).astype(self.dtype)
+        h = h.reshape(B, H * W, C)
         wq, bq = _ProjParams(C, name="to_q")(C)
         wk, bk = _ProjParams(C, name="to_k")(C)
         wv, bv = _ProjParams(C, name="to_v")(C)
@@ -269,6 +314,9 @@ class UNet2D(nn.Module):
     # config factory (ddpm_from_config) clears this automatically when
     # config.parallel requests a multi-device mesh.
     fused_attention: bool = True
+    # Pallas fused GroupNorm+SiLU (ops/groupnorm.py). Same mesh caveat as
+    # fused_attention; cleared alongside it by the config factory.
+    fused_groupnorm: bool = True
 
     def _constrain(self, h: Array) -> Array:
         if self.act_sharding is not None:
@@ -284,11 +332,14 @@ class UNet2D(nn.Module):
         )
         temb = TimeEmbedding(embed_dim=ch0 * 4, name="time_embedding")(temb)
 
+        fused_gn = self.fused_groupnorm and self.act_sharding is None
+
         def resnet(out_ch, name):
             return ResnetBlock(
                 out_channels=out_ch, dropout=self.dropout,
                 norm_groups=self.norm_groups, norm_eps=self.norm_eps,
                 dtype=self.dtype, norm_dtype=self.norm_dtype, name=name,
+                fused_groupnorm=fused_gn,
             )
 
         def attn(name):
@@ -298,6 +349,7 @@ class UNet2D(nn.Module):
                 norm_dtype=self.norm_dtype, name=name,
                 head_sharding=self.head_sharding,
                 fused_attention=self.fused_attention,
+                fused_groupnorm=fused_gn,
             )
 
         h = nn.Conv(ch0, (3, 3), padding=1, name="conv_in", dtype=self.dtype)(
@@ -352,11 +404,11 @@ class UNet2D(nn.Module):
 
         assert not skips, f"unconsumed skip connections: {len(skips)}"
 
-        h = nn.GroupNorm(
-            num_groups=self.norm_groups, epsilon=self.norm_eps,
-            name="conv_norm_out", dtype=self.norm_dtype,
+        h = FusedGroupNormAct(
+            num_groups=self.norm_groups, epsilon=self.norm_eps, act="silu",
+            dtype=self.dtype, norm_dtype=self.norm_dtype, fused=fused_gn,
+            name="conv_norm_out",
         )(h)
-        h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv_out",
                     dtype=self.dtype)(h)
         return h.astype(jnp.float32)

@@ -59,17 +59,24 @@ def main():
     }
 
     class _IdentityGN(nn.Module):
-        """Stands in for nn.GroupNorm in the 'no_gn' ablation."""
+        """Stands in for FusedGroupNormAct in the 'no_gn' ablation:
+        keeps the params + activation, skips the normalization."""
 
         num_groups: int = 0
         epsilon: float = 0.0
+        act: str = "none"
         dtype: object = None
-        use_bias: bool = True
-        use_scale: bool = True
+        norm_dtype: object = None
+        fused: bool = True
 
         @nn.compact
         def __call__(self, x):
-            return x
+            C = x.shape[-1]
+            self.param("scale", nn.initializers.ones_init(), (C,))
+            self.param("bias", nn.initializers.zeros_init(), (C,))
+            if self.act == "silu":
+                x = nn.silu(x)
+            return x.astype(self.dtype)
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.standard_normal((B, size, size, 3)), jnp.float32)
@@ -160,13 +167,12 @@ def main():
             dtt = time_train(net, params)
             print(f"step {name:12s} {dtt*1e3:7.2f} ms", flush=True)
 
-    # no_gn: patch GroupNorm globally (diagnostic only)
-    orig = nn.GroupNorm
-    try:
-        nn.GroupNorm = _IdentityGN
-        import pdm_tpu.models.unet as unet_mod
+    # no_gn: patch the norm module globally (diagnostic only)
+    import pdm_tpu.models.unet as unet_mod
 
-        unet_mod.nn.GroupNorm = _IdentityGN
+    orig = unet_mod.FusedGroupNormAct
+    try:
+        unet_mod.FusedGroupNormAct = _IdentityGN
         net = UNet2D(**flagship)
         params = init_params(net)
         dt = time_fwd(net, params)
@@ -175,10 +181,7 @@ def main():
             dtt = time_train(net, params)
             print(f"step {'no_gn':12s} {dtt*1e3:7.2f} ms", flush=True)
     finally:
-        nn.GroupNorm = orig
-        import pdm_tpu.models.unet as unet_mod
-
-        unet_mod.nn.GroupNorm = orig
+        unet_mod.FusedGroupNormAct = orig
 
     print({k: round(v * 1e3, 2) for k, v in results.items()})
 
