@@ -84,7 +84,7 @@ class DataAugmentationConfig(BaseModel):
 
 class SampleConfig(BaseModel):
     n_steps: int = Field(..., description="Sampling steps")
-    step_type: Literal["ddpm", "ddim", "heun"] = Field(
+    step_type: Literal["ddpm", "ddim", "heun", "dpmpp_2m"] = Field(
         ..., description="Step rule (ddpm/ddim/heun)"
     )
     noise_schedule_type: str = Field(..., description="Sampling schedule type")

@@ -33,6 +33,18 @@ reference's formulas.md "Sampling" section, expressed in x-space:
          (z_p sqrt(ab_prev), log T_prev); the final step to sigma = 0
          stays Euler (the standard practice — there is no valid second
          eval at T = 0). 2 model evals per step except the last.
+  DPMPP_2M: DPM-Solver++(2M) (Lu et al. 2022), data-prediction multistep:
+         second-order accuracy at ONE model eval per step (Heun's order at
+         DDIM's cost). In the log-SNR variable lambda = -log_temp/2 with
+         step span h = lambda_next - lambda, the update extrapolates the
+         two most recent x0 predictions,
+             D = (1 + k) x0_i - k x0_{i-1},   k = h_i / (2 h_{i-1}),
+             x_next = (sig_next/sig) xt + (a_next - sig_next a/sig) D,
+         where a = sqrt(ab), sig here = sqrt(1 - ab). k = 0 on the first
+         step (no history) and on the final step to the clean state
+         (h = inf there; the standard lower-order-final rule), which makes
+         every coefficient finite and the scan branch-free: with k = 0 the
+         update reduces exactly to the DDIM rule.
 """
 
 from __future__ import annotations
@@ -51,7 +63,7 @@ from ..core.temperature import alpha_bar_from_log_temp
 from ..models.base import DDPM
 from ..schedulers.base import Scheduler
 
-STEP_TYPES = ("ddpm", "ddim", "heun")
+STEP_TYPES = ("ddpm", "ddim", "heun", "dpmpp_2m")
 
 # Stability envelope for the deterministic 2nd-order PF-ODE solver.
 # Measured on the endurance checkpoint (scripts/endurance_heun_table.md):
@@ -120,8 +132,28 @@ def _step_tables(log_temp: Array) -> Dict[str, Array]:
         pos = u > 0.0
         return jnp.where(pos, jnp.sqrt(jnp.where(pos, u, 1.0)), 0.0)
 
+    # DPM-Solver++(2M): VP-convention amplitudes a = sqrt(ab) and noise
+    # scales s = sqrt(1 - ab) of the source (current) and target (one
+    # cooler) level; the target of the final step is the clean state
+    # (a = 1, s = 0), so c_x = s_tgt/s_src = 0 and c_d = a_tgt = 1 there —
+    # the update collapses to x0_hat with no infs anywhere. The history
+    # weight k = h_i / (2 h_{i-1}) uses the log-SNR spans
+    # h = (lt_src - lt_tgt)/2; it is zeroed on the first step (no history)
+    # and the final step (h = inf; lower-order-final).
+    lt_r = log_temp[::-1]  # scan order, hot -> cold
+    a_src, s_src = jnp.sqrt(ab), safe_sqrt(1.0 - ab)
+    a_tgt, s_tgt = jnp.sqrt(ab_prev), safe_sqrt(1.0 - ab_prev)
+    n = lt_r.shape[0]
+    if n > 1:
+        h = 0.5 * (lt_r[:-1] - lt_r[1:])  # spans of the non-final steps
+        k_mid = h[1:] / (2.0 * h[:-1])  # steps 1 .. n-2
+        dpm_k = jnp.concatenate(
+            [jnp.zeros((1,), h.dtype), k_mid, jnp.zeros((1,), h.dtype)]
+        )
+    else:
+        dpm_k = jnp.zeros((1,), lt_r.dtype)
     return {
-        "log_temp": log_temp[::-1],
+        "log_temp": lt_r,
         "ab": ab,
         "ab_prev": ab_prev,
         "ddpm_x0": jnp.sqrt(ab_prev) * beta / omab,
@@ -134,6 +166,9 @@ def _step_tables(log_temp: Array) -> Dict[str, Array]:
         "sig": sig,
         "sig_prev": sig_prev,
         "heun_lt_prev": lt_prev_safe,
+        "dpm_cx": s_tgt / s_src,
+        "dpm_cd": a_tgt - s_tgt * a_src / s_src,
+        "dpm_k": dpm_k,
     }
 
 
@@ -295,8 +330,25 @@ def _sample_scan(
         # backward recomputes one forward at a time.
         step = jax.checkpoint(step)
 
+    def dpm_step(carry, inp):
+        xt, x0_prev = carry
+        _, tab = inp
+        x_in = xt.astype(jnp.bfloat16) if half else xt
+        x0 = ddpm.get_predictions(x_in, tab["log_temp"]).x0.astype(
+            jnp.float32
+        )
+        d = (1.0 + tab["dpm_k"]) * x0 - tab["dpm_k"] * x0_prev
+        x_next = tab["dpm_cx"] * xt + tab["dpm_cd"] * d
+        return (x_next, x0), (x_next if track_states else None)
+
     n = grid.shape[0]
-    if step_type == "heun":
+    if step_type == "dpmpp_2m":
+        if remat:
+            dpm_step = jax.checkpoint(dpm_step)
+        (x_final, _), states = jax.lax.scan(
+            dpm_step, (xt, jnp.zeros_like(xt)), (jnp.arange(n), tables)
+        )
+    elif step_type == "heun":
         # peel the statically-known final Euler step (to sigma = 0 it
         # collapses to x0_hat) out of the scan: keeps the corrector's
         # second eval well-defined at every scanned step AND avoids a

@@ -218,6 +218,49 @@ def test_heun_second_order_against_exact_pf_ode():
     # ~2nd order: doubling the levels cuts the heun error ~4x (allow 3x)
     assert e_heun[40] < e_heun[20] / 3.0
 
+    # DPM-Solver++(2M): second-order like heun but at ONE model eval per
+    # step. Multistep constants differ from the trapezoid rule's, so only
+    # the ORDER is asserted: well under ddim at the same level count, and
+    # ~4x error reduction per level doubling.
+    e_dpm = {n: run(n, "dpmpp_2m") for n in (20, 40)}
+    for n in (20, 40):
+        e_ddim = run(n, "ddim")
+        assert e_dpm[n] < 0.5 * e_ddim, (n, e_dpm[n], e_ddim)
+    assert e_dpm[40] < e_dpm[20] / 2.5
+
+
+def test_dpmpp_2m_first_steps_match_ddim():
+    """With n_steps=2 the 2M history weight is zero on both steps (no
+    history + lower-order-final), and the update must reduce EXACTLY to
+    the DDIM rule."""
+    data = gmm_data(2_000)
+    sched = LogSNRScheduler(1e-4, 1e1)
+    ddpm = TrueDDPM(scheduler=sched, train_data=jnp.asarray(data))
+    outs = {}
+    for st in ("ddim", "dpmpp_2m"):
+        outs[st] = get_samples(
+            ddpm, sched, n_steps=2, obj_size=(1, 1, 1), n_samples=16,
+            batch_size=16, step_type=st, key=jax.random.PRNGKey(3),
+        )["x"]
+    np.testing.assert_allclose(
+        outs["dpmpp_2m"], outs["ddim"], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_dpmpp_2m_track_states_and_modes():
+    data = gmm_data(2_000)
+    sched = LogSNRScheduler(1e-4, 1e1)
+    ddpm = TrueDDPM(scheduler=sched, train_data=jnp.asarray(data))
+    out = get_samples(
+        ddpm, sched, n_steps=8, obj_size=(1, 1, 1), n_samples=64,
+        batch_size=64, step_type="dpmpp_2m", track_states=True,
+        key=jax.random.PRNGKey(11),
+    )
+    assert out["states"].shape[0] == 8
+    assert np.all(np.isfinite(out["x"]))
+    # samples should land near the GMM modes (+-1 scaled): finite spread
+    assert 0.2 < np.std(out["x"]) < 3.0
+
 
 def test_heun_extreme_schedule_warns_at_construction():
     """VERDICT r2 weak #5: heun + max-T knots beyond the validated envelope
