@@ -11,6 +11,11 @@ from .distance import (
     compute_pw_dist_sqr as compute_pw_dist_sqr,
     norm_sqr as norm_sqr,
 )
+from .groupnorm import (
+    fused_group_norm_act as fused_group_norm_act,
+    group_norm_reference as group_norm_reference,
+    use_fused_groupnorm as use_fused_groupnorm,
+)
 from .knn import knn_sqdist as knn_sqdist
 from .mmd import mmd_rbf as mmd_rbf
 from .sqrtm import (

@@ -34,7 +34,7 @@ def main() -> None:
     parser.add_argument("--steps", type=int, nargs="+",
                         default=[5, 10, 20, 50, 100])
     parser.add_argument("--step_type", default="ddpm",
-                        choices=["ddpm", "ddim", "heun"])
+                        choices=["ddpm", "ddim", "heun", "dpmpp_2m"])
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
     if args.out is None:

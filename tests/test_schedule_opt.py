@@ -30,6 +30,28 @@ def test_gradients_flow_through_sampler():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_gradients_flow_through_dpmpp_2m():
+    """The multistep solver's tables (log-SNR spans, history weights) are
+    differentiable in the knots; gradients through its scan must be
+    finite and nonzero so dpmpp_2m schedules can be optimized too."""
+    data = jnp.asarray(generate_gmm_1d(5_000))
+    sched = LogSNRScheduler(1e-4, 1e1)
+    ddpm = TrueDDPM(scheduler=sched, train_data=data)
+    grid = discretize_schedule(sched, 6)
+
+    def loss(lt):
+        x = sample_with_grid(
+            ddpm, lt, jax.random.PRNGKey(0), (32, 1, 1, 1),
+            step_type="dpmpp_2m",
+        )
+        return jnp.mean(jnp.square(x))
+
+    g = jax.grad(loss)(grid)
+    assert g.shape == grid.shape
+    assert float(jnp.abs(g).sum()) > 0
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_optimize_schedule_improves_mmd():
     data = jnp.asarray(generate_gmm_1d(20_000))
     sched = LogSNRScheduler(1e-4, 1e1)
