@@ -30,8 +30,13 @@ def main() -> None:
     parser.add_argument("--learning_rate", type=float, default=0.05)
     parser.add_argument("--n_data", type=int, default=50_000)
     parser.add_argument("--fid_samples", type=int, default=5_000)
-    parser.add_argument("--out", default="optimized_flagship_schedule")
+    parser.add_argument("--step_type", default="ddpm",
+                        choices=["ddpm", "ddim", "heun", "dpmpp_2m"])
+    parser.add_argument("--out", default=None)
     args = parser.parse_args()
+    if args.out is None:
+        suffix = "" if args.step_type == "ddpm" else f"_{args.step_type}"
+        args.out = "optimized_flagship_schedule" + suffix
 
     setup_jax()
     import jax
@@ -94,7 +99,7 @@ def main() -> None:
     out = optimize_schedule(
         ema_ddpm, data, init,
         n_iters=args.n_iters, batch_size=args.batch_size,
-        learning_rate=args.learning_rate, step_type="ddpm",
+        learning_rate=args.learning_rate, step_type=args.step_type,
         sigmas=(1.0, 3.0, 10.0, 30.0),
         clip_range=(float(np.log(1e-4)), float(np.log(2.478e4))),
         feature_fn=feature_fn, log_every=20, remat=True,
@@ -112,7 +117,7 @@ def main() -> None:
             chunks.append(np.asarray(sample_with_grid(
                 ema_ddpm, jnp.asarray(grid), jax.random.fold_in(
                     jax.random.PRNGKey(777), i
-                ), (bs, 3, 32, 32), "ddpm",
+                ), (bs, 3, 32, 32), args.step_type,
             )))
         samples = np.concatenate(chunks)[: args.fid_samples]
         return float(compute_fid(jnp.asarray(samples)))
@@ -121,6 +126,7 @@ def main() -> None:
     fid_opt = fid_of_grid(out["log_temp"])
     result = {
         "checkpoint_step": step, "n_steps": args.n_steps,
+        "step_type": args.step_type,
         "fid_linear_beta_init": round(fid_init, 3),
         "fid_optimized": round(fid_opt, 3),
         "init_log_temp": [round(float(v), 4) for v in np.asarray(init)],
