@@ -121,6 +121,42 @@ def test_gate_geometry(monkeypatch):
 @pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="compiled Mosaic kernel needs TPU"
 )
+def test_unet_optin_fused_gn_matches_default(monkeypatch):
+    """PDM_FUSED_GN=1 swaps every norm site in the UNet for the kernel;
+    the forward must match the XLA path to bf16 tolerance (guards the
+    opt-in integration against silent divergence)."""
+    import numpy as np
+
+    from pdm_tpu.models.unet import UNet2D
+
+    net = UNet2D(
+        in_channels=3, out_channels=3, block_out_channels=(128, 128),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+        layers_per_block=1, attention_head_dim=64, dropout=0.0,
+        norm_groups=32, dtype=jnp.bfloat16,
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    tau = jnp.asarray([0.2, 0.8], jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x, tau)["params"]
+
+    monkeypatch.setenv("PDM_FUSED_GN", "0")
+    base = jax.jit(
+        lambda p: net.apply({"params": p}, x, tau, deterministic=True)
+    )(params)
+    monkeypatch.setenv("PDM_FUSED_GN", "1")
+    fused = jax.jit(
+        lambda p, _flag: net.apply({"params": p}, x, tau, deterministic=True)
+    )(params, 1)  # distinct jit signature: avoid reusing the cached graph
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(base), rtol=0.05, atol=0.05
+    )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="compiled Mosaic kernel needs TPU"
+)
 def test_fused_compiled_on_tpu():
     B, S, C, groups = 4, 1024, 384, 32
     x = jnpasarray((B, S, C), 8, jnp.bfloat16)
