@@ -190,6 +190,9 @@ def main():
         try:
             with open(prev[-1]) as f:
                 last = json.load(f)
+            # driver-recorded BENCH_r*.json nests the bench line under
+            # "parsed"; accept both layouts
+            last = last.get("parsed", last)
             if last.get("value"):
                 vs = samples_per_sec / float(last["value"])
         except Exception:
