@@ -115,6 +115,36 @@ def time_conv(jax, batch, hw, cin, cout, ksize, in_dtype, reps):
     return flops / dt / 1e12, dt
 
 
+def time_bandwidth(jax, n_elems, dtype, reps):
+    """GB/s for a STREAM-triad-like update ``x = x + alpha * y``:
+    2 array reads + 1 array write per rep, serialized by the x->x
+    dependency. Round 2 quoted "HBM ~220 GB/s" from per-call timing —
+    the same methodology that produced the bogus 108 TF/s matmul peak —
+    so this is the honest (chained-in-one-jit) replacement.
+    """
+    import jax.numpy as jnp
+
+    x0 = jnp.ones((n_elems,), dtype)
+    y = jnp.full((n_elems,), 1e-6, dtype)
+
+    @jax.jit
+    def loop(x, y):
+        def body(i, x):
+            # alpha varies with i so XLA cannot strength-reduce the loop
+            # to x + reps*alpha*y
+            return x + (1e-6 * (1.0 + i)).astype(x.dtype) * y
+
+        x = jax.lax.fori_loop(0, reps, body, x)
+        return x[0]
+
+    _ = float(loop(x0, y))
+    t0 = time.time()
+    _ = float(loop(x0, y))
+    dt = time.time() - t0
+    gbytes = 3.0 * n_elems * jnp.dtype(dtype).itemsize * reps / 1e9
+    return gbytes / dt, dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small sweep only")
@@ -177,17 +207,40 @@ def main():
         record("matmul", f"{desc} {s}^3", tf, dt)
 
     # ---- flagship conv shapes (UNet 3x3 convs, NHWC, bf16) ----
+    # b256 = train batch; b64 = the measured-optimal sampler batch
     convs = [
         (256, 32, 128, 128, 3),
         (256, 32, 256, 256, 3),
         (256, 16, 256, 256, 3),
         (256, 8, 256, 256, 3),
+        (64, 32, 128, 128, 3),
+        (64, 16, 256, 256, 3),
+        (64, 8, 256, 256, 3),
     ]
     for (b, hw, cin, cout, ks) in convs if not args.quick else convs[:2]:
         fl = 2.0 * b * hw * hw * cin * cout * ks * ks
         reps = max(4, int(1.0 * 100e12 / fl))
         tf, dt = time_conv(jax, b, hw, cin, cout, ks, jnp.bfloat16, reps)
         record("conv", f"bf16 b{b} {hw}x{hw} {cin}->{cout} k{ks} reps={reps}", tf, dt)
+
+    # ---- HBM bandwidth (STREAM triad, serialized in one jit) ----
+    # rows whose working set fits in the 128 MiB VMEM measure on-chip
+    # bandwidth, not HBM — keep the two pools separate in the summary
+    hbm_rows, vmem_rows = [], []
+    for n_elems, dtype, tag in [
+        (1 << 27, jnp.float32, "f32 512MiB-arrays"),
+        (1 << 27, jnp.bfloat16, "bf16 256MiB-arrays"),
+        (1 << 22, jnp.float32, "f32 16MiB-arrays"),
+    ] if not args.quick else [(1 << 26, jnp.float32, "f32 256MiB-arrays")]:
+        nbytes = 3.0 * n_elems * jnp.dtype(dtype).itemsize
+        reps = max(8, int(1.0 * 800e9 / nbytes))
+        gbs, dt = time_bandwidth(jax, n_elems, dtype, reps)
+        (vmem_rows if nbytes <= 128 * 2**20 else hbm_rows).append(gbs)
+        pool = "vmem-resident" if nbytes <= 128 * 2**20 else "HBM"
+        print(
+            f"triad    {tag:38s} {pool:13s} {gbs:8.1f} GB/s  ({dt:.2f}s)",
+            flush=True,
+        )
 
     best = max(rows, key=lambda r: r[2])
     # pure-bf16 rows only: "f32-default(bf16_3x)" also contains the
@@ -202,6 +255,8 @@ def main():
             "best_bf16_tflops": round(best_bf16[2], 1),
             "spec_bf16_tflops": SPEC_BF16_TFLOPS,
             "fraction_of_spec": round(best_bf16[2] / SPEC_BF16_TFLOPS, 3),
+            "hbm_triad_gbs": round(max(hbm_rows), 1) if hbm_rows else None,
+            "vmem_triad_gbs": round(max(vmem_rows), 1) if vmem_rows else None,
             "device": dev.device_kind,
         })
     )
