@@ -115,6 +115,55 @@ def time_conv(jax, batch, hw, cin, cout, ksize, in_dtype, reps):
     return flops / dt / 1e12, dt
 
 
+def time_conv_vjp(jax, batch, hw, cin, cout, ksize, in_dtype, reps):
+    """TF/s for the full conv VJP (forward + grad-input + grad-filter),
+    counted as 3x forward FLOPs — measures whether XLA's two backward
+    conv lowerings (input grad = conv with spatially-reversed filters;
+    filter grad = a large contraction over batch*space) reach the same
+    MXU regime as the forward. Chained in one jit, parameter-update
+    feedback serializes iterations.
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.standard_normal((batch, hw, hw, cin)), in_dtype)
+    w0 = jnp.asarray(
+        rng.standard_normal((ksize, ksize, cin, cout)) * 0.02, in_dtype
+    )
+    dn = jax.lax.conv_dimension_numbers(
+        x0.shape, w0.shape, ("NHWC", "HWIO", "NHWC")
+    )
+
+    def loss(x, w):
+        # no preferred_element_type here: its fp32 cotangent would hit the
+        # bf16 filter in the transpose conv (mixed-dtype error). Cast the
+        # output instead so fwd AND both bwd convs run pure bf16.
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=dn,
+        ).astype(jnp.float32)
+        return jnp.sum(y * y)
+
+    @jax.jit
+    def loop(x, w):
+        def body(i, carry):
+            x, w = carry
+            gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+            # tiny feedback into BOTH primals keeps every grad live and
+            # serializes iterations without drifting the magnitudes
+            return (x + (1e-12 * gx).astype(x.dtype),
+                    w + (1e-12 * gw).astype(w.dtype))
+
+        x, w = jax.lax.fori_loop(0, reps, body, (x, w))
+        return jnp.sum(w[0, 0, 0, :])
+
+    _ = float(loop(x0, w0))
+    t0 = time.time()
+    _ = float(loop(x0, w0))
+    dt = time.time() - t0
+    flops = 3.0 * 2.0 * batch * hw * hw * cin * cout * ksize * ksize * reps
+    return flops / dt / 1e12, dt
+
+
 def time_bandwidth(jax, n_elems, dtype, reps):
     """GB/s for a STREAM-triad-like update ``x = x + alpha * y``:
     2 array reads + 1 array write per rep, serialized by the x->x
@@ -222,6 +271,21 @@ def main():
         reps = max(4, int(1.0 * 100e12 / fl))
         tf, dt = time_conv(jax, b, hw, cin, cout, ks, jnp.bfloat16, reps)
         record("conv", f"bf16 b{b} {hw}x{hw} {cin}->{cout} k{ks} reps={reps}", tf, dt)
+
+    # ---- conv VJP (fwd + both backward convs, 3x fwd FLOPs) ----
+    vjp_convs = [
+        (128, 16, 256, 256, 3),
+        (128, 8, 256, 256, 3),
+        (256, 16, 256, 256, 3),
+    ]
+    for (b, hw, cin, cout, ks) in vjp_convs if not args.quick else vjp_convs[:1]:
+        fl = 3.0 * 2.0 * b * hw * hw * cin * cout * ks * ks
+        reps = max(4, int(0.5 * 800e12 / fl))
+        tf, dt = time_conv_vjp(jax, b, hw, cin, cout, ks, jnp.bfloat16, reps)
+        record(
+            "convVJP", f"bf16 b{b} {hw}x{hw} {cin}->{cout} k{ks} reps={reps}",
+            tf, dt,
+        )
 
     # ---- HBM bandwidth (STREAM triad, serialized in one jit) ----
     # rows whose working set fits in the 128 MiB VMEM measure on-chip
