@@ -149,7 +149,16 @@ class ParallelConfig(BaseModel):
     """New capability vs the reference (single-accelerator): mesh layout."""
 
     data_axis: Optional[int] = Field(None, description="Mesh 'data' axis size (None = all/model)")
-    model_axis: int = Field(1, description="Mesh 'model' axis size (TP)")
+    model_axis: int = Field(1, description="Mesh 'model' axis size (TP/SP)")
+    model_partition: Literal["channel", "spatial"] = Field(
+        "channel",
+        description=(
+            "What the 'model' axis shards: 'channel' = tensor parallelism "
+            "(output channels + attention heads), 'spatial' = spatial "
+            "parallelism (activation H axis; GSPMD halo-exchange convs — "
+            "the memory axis for 256x256 models)"
+        ),
+    )
 
 
 class Config(BaseModel):

@@ -137,6 +137,9 @@ class DDPMTrainer:
     # dropout-mask generator: "rbg" (hardware RngBitGenerator, measured
     # +17% step throughput) or "threefry" (bit-reproducible everywhere)
     dropout_rng_impl: Optional[str] = "rbg"
+    # what the mesh 'model' axis shards: "channel" (tensor parallelism)
+    # or "spatial" (activation-H spatial parallelism, replicated params)
+    model_partition: str = "channel"
 
     def __post_init__(self):
         import threading
@@ -163,11 +166,11 @@ class DDPMTrainer:
         params = jax.tree_util.tree_map(jnp.copy, self.ddpm.params)
         if mesh is not None:
             # place params (and hence ema/opt_state, which derive from
-            # them) with the tensor-parallel sharding BEFORE building the
+            # them) with the model-parallel sharding BEFORE building the
             # optimizer state, so the whole TrainState shares one layout
             from ..parallel.mesh import shard_params
 
-            params = shard_params(params, mesh)
+            params = shard_params(params, mesh, self.model_partition)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -385,16 +388,21 @@ class DDPMTrainer:
         batch_out_sharding = None
         if mesh is not None:
             from ..parallel.mesh import (
-                batch_sharding, check_batch_divisible, replicated, unet_with_tp,
+                batch_sharding, check_batch_divisible, replicated,
+                unet_with_model_parallel,
             )
 
             check_batch_divisible(batch_size, mesh)
             if mesh.shape.get("model", 1) > 1 and hasattr(
                 self.ddpm.module, "act_sharding"
             ):
-                # tensor-parallel activation/head constraints in the UNet
+                # model-parallel activation constraints in the UNet:
+                # channel TP (+ head sharding) or spatial SP (H axis)
                 self.ddpm = dataclasses.replace(
-                    self.ddpm, module=unet_with_tp(self.ddpm.module, mesh)
+                    self.ddpm,
+                    module=unet_with_model_parallel(
+                        self.ddpm.module, mesh, self.model_partition
+                    ),
                 )
             batch_out_sharding = batch_sharding(mesh)
             if hasattr(data, "devices"):

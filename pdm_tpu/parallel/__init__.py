@@ -9,4 +9,7 @@ from .mesh import (
     replicated as replicated,
     shard_batch as shard_batch,
     shard_params as shard_params,
+    unet_with_model_parallel as unet_with_model_parallel,
+    unet_with_sp as unet_with_sp,
+    unet_with_tp as unet_with_tp,
 )

@@ -132,9 +132,21 @@ def _leaf_spec(path: Tuple, leaf, model_axis_size: int) -> P:
     return P()
 
 
-def params_sharding(params, mesh: Mesh):
-    """NamedSharding pytree for model parameters: output-channel TP over
-    'model', replicated over 'data'."""
+def params_sharding(params, mesh: Mesh, partition: str = "channel"):
+    """NamedSharding pytree for model parameters.
+
+    ``partition="channel"`` (tensor parallelism): output-channel dims over
+    'model', replicated over 'data'. ``partition="spatial"``: parameters
+    fully replicated — spatial parallelism shards *activations* (the H
+    axis), so every chip needs the whole filter bank."""
+    if partition == "spatial":
+        return jax.tree_util.tree_map(
+            lambda leaf: NamedSharding(mesh, P()), params
+        )
+    if partition != "channel":
+        raise ValueError(
+            f"unknown model partition {partition!r} (channel|spatial)"
+        )
     m = mesh.shape["model"]
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf, m)),
@@ -142,11 +154,11 @@ def params_sharding(params, mesh: Mesh):
     )
 
 
-def shard_params(params, mesh: Mesh):
+def shard_params(params, mesh: Mesh, partition: str = "channel"):
     return jax.tree_util.tree_map(
         lambda leaf, sh: jax.device_put(leaf, sh),
         params,
-        params_sharding(params, mesh),
+        params_sharding(params, mesh, partition),
     )
 
 
@@ -168,3 +180,42 @@ def unet_with_tp(net, mesh: Mesh):
         act_sharding=NamedSharding(mesh, P("data", None, None, "model")),
         head_sharding=NamedSharding(mesh, P("data", "model", None, None)),
     )
+
+
+def unet_with_sp(net, mesh: Mesh):
+    """Copy of a UNet2D with spatial-parallel (SP) activation constraints.
+
+    The H axis of NHWC activations shards over 'model' while parameters
+    stay replicated (``params_sharding(partition="spatial")``): GSPMD
+    partitions every conv spatially and inserts the 3x3 halo exchanges as
+    collective-permutes over ICI automatically (the scaling-book recipe —
+    annotate shardings, let XLA insert collectives). GroupNorm spatial
+    moments psum over 'model'; attention needs the full spatial extent, so
+    GSPMD gathers H only at the (cheap, lowest-resolution) attention
+    blocks. This is the memory axis for high-resolution models: the
+    registry's celeba-hq 256x256 datasets (config/datasets.py, reference
+    config/dataset_configs.py:102-128) have per-activation footprints
+    model-axis-divisible by 8 down to the 32x32 attention level.
+
+    ``head_sharding`` stays None: with H sharded, the head axis must NOT
+    also shard over the same mesh axis. No-op on a model=1 mesh.
+    """
+    import dataclasses
+
+    if mesh.shape["model"] <= 1:
+        return net
+    return dataclasses.replace(
+        net,
+        act_sharding=NamedSharding(mesh, P("data", "model", None, None)),
+        head_sharding=None,
+    )
+
+
+def unet_with_model_parallel(net, mesh: Mesh, partition: str = "channel"):
+    """Dispatch the 'model'-axis strategy: "channel" = tensor parallelism
+    (unet_with_tp), "spatial" = spatial parallelism (unet_with_sp)."""
+    if partition == "channel":
+        return unet_with_tp(net, mesh)
+    if partition == "spatial":
+        return unet_with_sp(net, mesh)
+    raise ValueError(f"unknown model partition {partition!r} (channel|spatial)")

@@ -50,6 +50,7 @@ def main(config: Config) -> None:
             config.data_augmentation.use_augmentation
             and config.data_augmentation.horizontal_flip
         ),
+        model_partition=config.parallel.model_partition,
     )
     trainer.train(
         data, batch_size=tc.batch_size, total_iters=tc.total_iters, mesh=mesh
