@@ -52,7 +52,17 @@ def build_sampler(config: Config, ddpm=None, min_temp=None):
         n = len(jax.devices())
         model_ax = max(1, config.parallel.model_axis)
         if n % model_ax == 0:
-            sampler = sharded_sampler(sampler, make_mesh(model=model_ax))
+            # model_axis>1 + model_partition=spatial shards the image H
+            # axis over 'model' (halo-exchange convs) on top of DP batch
+            partition = (
+                "spatial"
+                if model_ax > 1
+                and config.parallel.model_partition == "spatial"
+                else "data"
+            )
+            sampler = sharded_sampler(
+                sampler, make_mesh(model=model_ax), partition=partition
+            )
     return sampler
 
 

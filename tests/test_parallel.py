@@ -384,3 +384,42 @@ def test_sp_param_sharding_replicates_everything():
 
     with pytest.raises(ValueError, match="partition"):
         params_sharding(params, mesh, "pipeline")
+
+
+def test_spatial_sharded_sampling_matches_unsharded():
+    """sharded_sampler(partition='spatial'): DP batch + SP image-H sharding
+    through the whole reverse scan equals the single-device trajectories
+    (deterministic DDIM, identical keys)."""
+    from pdm_tpu.models.unet_ddpm import init_unet_ddpm
+    from pdm_tpu.schedulers.analytic import LinearBetaScheduler
+
+    sched = LinearBetaScheduler(1e-4, 1e2)
+    ddpm = init_unet_ddpm(
+        jax.random.PRNGKey(0), sched, _tiny_unet(), (1, 16, 16),
+        parametrization="eps",
+    )
+    sampler = DDPMSampler(
+        ddpm=ddpm, scheduler=sched, n_steps=4, obj_size=(1, 16, 16),
+        batch_size=8, n_samples=8, step_type="ddim",
+    )
+    ref = sampler.batch_sample(jax.random.PRNGKey(0))["x"]
+
+    mesh = make_mesh(data=2, model=4)
+    with mesh:
+        sh = sharded_sampler(sampler, mesh, partition="spatial")
+        got = sh.batch_sample(jax.random.PRNGKey(0))["x"]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+    # TrueDDPM has no spatial activations: loud error, not silent fallback
+    import pytest
+
+    data = jnp.asarray(generate_gmm_1d(1000))
+    tsampler = DDPMSampler(
+        ddpm=TrueDDPM(scheduler=sched, train_data=data), scheduler=sched,
+        n_steps=4, obj_size=(1, 1, 1), batch_size=8, n_samples=8,
+        step_type="ddim",
+    )
+    with pytest.raises(ValueError, match="spatial"):
+        sharded_sampler(tsampler, mesh, partition="spatial")
