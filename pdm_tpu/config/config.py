@@ -67,6 +67,15 @@ class DDPMTrainingConfig(BaseModel):
             "(~280 GB at the reference's 1.5M-iter cadence)"
         ),
     )
+    grad_accum: int = Field(
+        1,
+        description=(
+            "Gradient-accumulation micro-steps per optimizer step: the "
+            "global batch_size splits into this many sequential "
+            "micro-batches inside the one jitted step (reaches the "
+            "reference's global batch on memory-tight 256x256 configs)"
+        ),
+    )
     use_wandb: bool = Field(
         False,
         description=(
@@ -157,6 +166,15 @@ class ParallelConfig(BaseModel):
             "(output channels + attention heads), 'spatial' = spatial "
             "parallelism (activation H axis; GSPMD halo-exchange convs — "
             "the memory axis for 256x256 models)"
+        ),
+    )
+    fsdp: bool = Field(
+        False,
+        description=(
+            "Fully-sharded data parallelism (ZeRO-3): parameters, EMA and "
+            "Adam moments shard over the 'data' axis (1/data_size memory "
+            "per chip); GSPMD all-gathers weights per layer and "
+            "reduce-scatters gradients. Composes with model_partition"
         ),
     )
 

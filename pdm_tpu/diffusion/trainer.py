@@ -140,6 +140,18 @@ class DDPMTrainer:
     # what the mesh 'model' axis shards: "channel" (tensor parallelism)
     # or "spatial" (activation-H spatial parallelism, replicated params)
     model_partition: str = "channel"
+    # fully-sharded data parallelism (ZeRO-3): parameters, EMA, and Adam
+    # moments shard over the mesh 'data' axis (1/data_size per chip);
+    # GSPMD all-gathers weights per layer and reduce-scatters gradients.
+    # Composes with either model partition. New capability vs the
+    # reference (single-accelerator, SURVEY §5).
+    fsdp: bool = False
+    # gradient accumulation: split each global batch into this many
+    # sequential micro-batches inside the one jitted step (lax.scan over
+    # per-micro-batch grads, one optimizer/EMA application). Reaches the
+    # reference recipe's global batch (ddpm_training.yaml bs=128..) on
+    # memory-tight configs (256x256 models) with identical optimizer math.
+    grad_accum: int = 1
 
     def __post_init__(self):
         import threading
@@ -166,11 +178,14 @@ class DDPMTrainer:
         params = jax.tree_util.tree_map(jnp.copy, self.ddpm.params)
         if mesh is not None:
             # place params (and hence ema/opt_state, which derive from
-            # them) with the model-parallel sharding BEFORE building the
+            # them — zeros_like/copy preserve sharding) with the
+            # model-parallel (+FSDP) sharding BEFORE building the
             # optimizer state, so the whole TrainState shares one layout
             from ..parallel.mesh import shard_params
 
-            params = shard_params(params, mesh, self.model_partition)
+            params = shard_params(
+                params, mesh, self.model_partition, fsdp=self.fsdp
+            )
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -203,10 +218,51 @@ class DDPMTrainer:
         return loss, {"loss": loss}
 
     def _build_train_step(self):
+        def accum_grads(params, key: jax.Array, x0: Array):
+            """Mean loss/grads over ``grad_accum`` sequential micro-batches
+            (a lax.scan, so peak activation memory is one micro-batch).
+            Per-micro keys are fold_in(key, i) — decorrelated noise/dropout
+            draws, same contract as independent steps."""
+            a = self.grad_accum
+            micro = x0.reshape(a, x0.shape[0] // a, *x0.shape[1:])
+            if getattr(self, "_micro_sharding", None) is not None:
+                # keep each micro-batch laid out over the mesh 'data' axis
+                # (the reshape would otherwise leave XLA free to pick a
+                # degenerate layout that serializes the scan body)
+                micro = jax.lax.with_sharding_constraint(
+                    micro, self._micro_sharding
+                )
+
+            def body(carry, inp):
+                i, xm = inp
+                (l, _), g = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                    params, jax.random.fold_in(key, i), xm
+                )
+                g_sum, l_sum = carry
+                return (
+                    jax.tree_util.tree_map(jnp.add, g_sum, g),
+                    l_sum + l,
+                ), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params
+            )
+            (g_sum, l_sum), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32)),
+                (jnp.arange(a), micro),
+            )
+            inv = 1.0 / a
+            grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+            loss = l_sum * inv
+            return loss, {"loss": loss}, grads
+
         def step(state: TrainState, key: jax.Array, x0: Array):
-            (loss, metrics), grads = jax.value_and_grad(
-                self.loss_fn, has_aux=True
-            )(state.params, key, x0)
+            if self.grad_accum > 1:
+                loss, metrics, grads = accum_grads(state.params, key, x0)
+            else:
+                (loss, metrics), grads = jax.value_and_grad(
+                    self.loss_fn, has_aux=True
+                )(state.params, key, x0)
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )
@@ -385,14 +441,28 @@ class DDPMTrainer:
         total = total_iters or self.total_iters
         key = jax.random.PRNGKey(0) if key is None else key
 
+        if self.grad_accum > 1 and batch_size % self.grad_accum != 0:
+            raise ValueError(
+                f"batch_size={batch_size} is not divisible by "
+                f"grad_accum={self.grad_accum}"
+            )
+
         batch_out_sharding = None
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from ..parallel.mesh import (
                 batch_sharding, check_batch_divisible, replicated,
                 unet_with_model_parallel,
             )
 
             check_batch_divisible(batch_size, mesh)
+            if self.grad_accum > 1:
+                check_batch_divisible(
+                    batch_size // self.grad_accum, mesh,
+                    what="batch_size // grad_accum",
+                )
+                self._micro_sharding = NamedSharding(mesh, P(None, "data"))
             if mesh.shape.get("model", 1) > 1 and hasattr(
                 self.ddpm.module, "act_sharding"
             ):

@@ -132,33 +132,75 @@ def _leaf_spec(path: Tuple, leaf, model_axis_size: int) -> P:
     return P()
 
 
-def params_sharding(params, mesh: Mesh, partition: str = "channel"):
+def _with_fsdp(spec: P, leaf, data_size: int) -> P:
+    """Augment a model-partition spec with FSDP: shard the largest
+    still-unsharded dimension divisible by the 'data' axis over 'data'
+    (ZeRO-3 semantics — parameters, and hence EMA and optimizer moments,
+    are stored 1/data_size per chip; GSPMD inserts the per-layer
+    all-gather before use and reduce-scatters the gradients). Leaves with
+    no divisible dimension (small norm scales) stay as-is — they are a
+    negligible fraction of the footprint."""
+    entries = list(spec) + [None] * (leaf.ndim - len(spec))
+    cand = [
+        (leaf.shape[i], i)
+        for i in range(leaf.ndim)
+        if entries[i] is None and leaf.shape[i] % data_size == 0
+        and leaf.shape[i] >= data_size
+    ]
+    if not cand:
+        return spec
+    _, i = max(cand)
+    entries[i] = "data"
+    return P(*entries)
+
+
+def params_sharding(
+    params, mesh: Mesh, partition: str = "channel", fsdp: bool = False
+):
     """NamedSharding pytree for model parameters.
 
     ``partition="channel"`` (tensor parallelism): output-channel dims over
     'model', replicated over 'data'. ``partition="spatial"``: parameters
     fully replicated — spatial parallelism shards *activations* (the H
-    axis), so every chip needs the whole filter bank."""
+    axis), so every chip needs the whole filter bank.
+
+    ``fsdp=True`` additionally shards every parameter's largest remaining
+    dimension over 'data' (fully-sharded data parallelism / ZeRO-3):
+    per-chip parameter + Adam-moment + EMA memory drops by the 'data' axis
+    size, at the cost of a per-layer weight all-gather that GSPMD overlaps
+    with compute. Composes with both model partitions (with "channel" TP a
+    conv kernel shards Cout over 'model' AND Cin over 'data')."""
     if partition == "spatial":
-        return jax.tree_util.tree_map(
-            lambda leaf: NamedSharding(mesh, P()), params
+        base = jax.tree_util.tree_map(lambda leaf: P(), params)
+    elif partition == "channel":
+        m = mesh.shape["model"]
+        base = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: _leaf_spec(path, leaf, m), params
         )
-    if partition != "channel":
+    else:
         raise ValueError(
             f"unknown model partition {partition!r} (channel|spatial)"
         )
-    m = mesh.shape["model"]
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf, m)),
-        params,
+    if fsdp:
+        d = mesh.shape["data"]
+        if d > 1:
+            base = jax.tree_util.tree_map(
+                lambda spec, leaf: _with_fsdp(spec, leaf, d), base, params,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), base,
+        is_leaf=lambda x: isinstance(x, P),
     )
 
 
-def shard_params(params, mesh: Mesh, partition: str = "channel"):
+def shard_params(
+    params, mesh: Mesh, partition: str = "channel", fsdp: bool = False
+):
     return jax.tree_util.tree_map(
         lambda leaf, sh: jax.device_put(leaf, sh),
         params,
-        params_sharding(params, mesh, partition),
+        params_sharding(params, mesh, partition, fsdp=fsdp),
     )
 
 

@@ -51,6 +51,8 @@ def main(config: Config) -> None:
             and config.data_augmentation.horizontal_flip
         ),
         model_partition=config.parallel.model_partition,
+        fsdp=config.parallel.fsdp,
+        grad_accum=tc.grad_accum,
     )
     trainer.train(
         data, batch_size=tc.batch_size, total_iters=tc.total_iters, mesh=mesh

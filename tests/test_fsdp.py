@@ -1,0 +1,202 @@
+"""FSDP (ZeRO-3 parameter/optimizer sharding over 'data') and gradient
+accumulation, on the 8-device virtual CPU mesh.
+
+Both are new capability vs the reference (single-accelerator, full-batch
+steps — SURVEY §5 'parallelism inventory: EMPTY'); the correctness contract
+is that neither changes the optimizer math.
+"""
+
+import dataclasses
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from pdm_tpu.diffusion.trainer import DDPMTrainer
+from pdm_tpu.models.unet_ddpm import init_unet_ddpm
+from pdm_tpu.parallel.mesh import make_mesh, params_sharding, shard_batch
+from pdm_tpu.schedulers.analytic import LinearBetaScheduler
+
+
+def _tiny_ddpm(seed=0):
+    from tests.test_parallel import _tiny_unet
+
+    net = _tiny_unet()
+    return init_unet_ddpm(
+        jax.random.PRNGKey(seed), LinearBetaScheduler(1e-4, 1e2), net,
+        (1, 16, 16), parametrization="eps",
+    )
+
+
+def _data(n=64, seed=0):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(n, 1, 16, 16).astype(np.float32)
+    )
+
+
+def test_fsdp_param_sharding_rules():
+    mesh = make_mesh(data=4, model=2)
+    params = {
+        "conv": {"kernel": jnp.zeros((3, 3, 16, 64)), "bias": jnp.zeros((64,))},
+        "norm": {"scale": jnp.zeros((33,))},
+    }
+    sh = params_sharding(params, mesh, "channel", fsdp=True)
+    # TP keeps Cout on 'model'; FSDP adds the largest remaining dim on 'data'
+    assert sh["conv"]["kernel"].spec == P(None, None, "data", "model")
+    assert sh["conv"]["bias"].spec == P("data")
+    # nothing divisible by the data axis: stays replicated
+    assert sh["norm"]["scale"].spec == P()
+    # spatial partition + FSDP: params shard over 'data' only
+    sh_sp = params_sharding(params, mesh, "spatial", fsdp=True)
+    assert "data" in jax.tree_util.tree_leaves(
+        [sh_sp["conv"]["kernel"].spec]
+    ) or sh_sp["conv"]["kernel"].spec == P(None, None, None, "data")
+    # fsdp=False is unchanged behavior
+    base = params_sharding(params, mesh, "channel")
+    assert base["conv"]["kernel"].spec == P(None, None, None, "model")
+
+
+def test_trainer_train_fsdp_matches_single_device():
+    """fsdp=True (the CLI --parallel.fsdp path) logs step-for-step identical
+    losses to the unsharded loop, with parameters and Adam moments actually
+    stored sharded over 'data'."""
+    ddpm = _tiny_ddpm()
+    data = _data()
+
+    def run(mesh, fsdp):
+        logged = {}
+        trainer = DDPMTrainer(
+            ddpm=ddpm, learning_rate=1e-3, warmup_steps=1, total_iters=3,
+            grad_clip=1.0, ema_decay=0.99, fsdp=fsdp,
+            log_fn=lambda step, m: logged.__setitem__(step, m["loss"]),
+        )
+        state = trainer.train(data, batch_size=16, total_iters=3,
+                              log_every=1, mesh=mesh)
+        return logged, state
+
+    ref, _ = run(None, False)
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        got, state = run(mesh, True)
+    assert set(ref) == set(got) == {1, 2, 3}
+    for step in ref:
+        np.testing.assert_allclose(got[step], ref[step], rtol=1e-4)
+
+    # parameters, EMA, and Adam moments all carry 'data' in their layout
+    def has_data_axis(tree):
+        specs = [
+            leaf.sharding.spec
+            for leaf in jax.tree_util.tree_leaves(tree)
+            if hasattr(leaf, "sharding") and leaf.ndim > 0
+        ]
+        return any("data" in [ax for ax in spec if ax] for spec in specs)
+
+    assert has_data_axis(state.params), "params not FSDP-sharded"
+    assert has_data_axis(state.ema_params), "EMA not FSDP-sharded"
+    assert has_data_axis(state.opt_state), "Adam moments not FSDP-sharded"
+
+
+def test_fsdp_step_hlo_gathers_params_and_reduce_scatters():
+    """Compiled FSDP step must contain weight all-gathers (the ZeRO-3
+    signature) alongside the gradient reduction."""
+    ddpm = _tiny_ddpm()
+    mesh = make_mesh(data=8, model=1)
+    trainer = DDPMTrainer(
+        ddpm=ddpm, learning_rate=1e-3, warmup_steps=1, total_iters=4,
+        grad_clip=1.0, ema_decay=0.99, fsdp=True,
+    )
+    batch = shard_batch(jnp.zeros((32, 1, 16, 16), jnp.float32), mesh)
+    with mesh:
+        state = trainer.init_state(mesh=mesh)
+        step = trainer._build_train_step()
+        txt = step.lower(state, jax.random.PRNGKey(1), batch).compile().as_text()
+    assert "all-gather" in txt, "no weight all-gather in FSDP step HLO"
+    assert "all-reduce" in txt or "reduce-scatter" in txt
+
+
+def test_grad_accum_matches_manual_average():
+    """grad_accum=2: the fused step's update equals averaging the two
+    micro-batch gradients (fold_in(key, i) streams) and applying the
+    optimizer once."""
+    ddpm = _tiny_ddpm()
+    x0 = _data(8, seed=3)
+    key = jax.random.PRNGKey(7)
+
+    trainer = DDPMTrainer(
+        ddpm=ddpm, learning_rate=1e-3, warmup_steps=1, total_iters=10,
+        grad_clip=1.0, ema_decay=0.99, grad_accum=2,
+        dropout_rng_impl="threefry",
+    )
+    state = trainer.init_state()
+    new_state, metrics = trainer.train_step(state, key, x0)
+
+    # manual reference
+    ref_trainer = DDPMTrainer(
+        ddpm=ddpm, learning_rate=1e-3, warmup_steps=1, total_iters=10,
+        grad_clip=1.0, ema_decay=0.99, dropout_rng_impl="threefry",
+    )
+    params = jax.tree_util.tree_map(jnp.copy, ddpm.params)
+    micro = x0.reshape(2, 4, *x0.shape[1:])
+    losses, grads = [], []
+    for i in range(2):
+        (l, _), g = jax.value_and_grad(ref_trainer.loss_fn, has_aux=True)(
+            params, jax.random.fold_in(key, i), micro[i]
+        )
+        losses.append(l)
+        grads.append(g)
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, *grads)
+    opt_state = ref_trainer.optimizer.init(params)
+    updates, _ = ref_trainer.optimizer.update(gmean, opt_state, params)
+    want_params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float((losses[0] + losses[1]) / 2), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(want_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+
+
+def test_grad_accum_on_mesh_with_fsdp():
+    """grad_accum + DP + FSDP compose: 2 steps run, losses finite and equal
+    to the meshless grad_accum run (same keys, deterministic threefry)."""
+    ddpm = _tiny_ddpm()
+    data = _data()
+
+    def run(mesh):
+        logged = {}
+        trainer = DDPMTrainer(
+            ddpm=ddpm, learning_rate=1e-3, warmup_steps=1, total_iters=2,
+            grad_clip=1.0, ema_decay=0.99, grad_accum=2, fsdp=mesh is not None,
+            dropout_rng_impl="threefry",
+            log_fn=lambda step, m: logged.__setitem__(step, m["loss"]),
+        )
+        trainer.train(data, batch_size=16, total_iters=2, log_every=1,
+                      mesh=mesh)
+        return logged
+
+    ref = run(None)
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        got = run(mesh)
+    for step in ref:
+        np.testing.assert_allclose(got[step], ref[step], rtol=1e-4)
+
+
+def test_grad_accum_rejects_bad_batch():
+    trainer = DDPMTrainer(ddpm=None, grad_accum=3)
+    with pytest.raises(ValueError, match="grad_accum"):
+        trainer.train(jnp.zeros((8, 1, 2, 2)), batch_size=16, total_iters=1)
+    # micro-batch must still divide the mesh 'data' axis
+    trainer2 = DDPMTrainer(ddpm=None, grad_accum=2)
+    mesh = make_mesh(data=8, model=1)
+    with pytest.raises(ValueError, match="grad_accum"):
+        trainer2.train(jnp.zeros((8, 1, 2, 2)), batch_size=8, total_iters=1,
+                       mesh=mesh)
