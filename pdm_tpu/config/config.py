@@ -69,6 +69,7 @@ class DDPMTrainingConfig(BaseModel):
     )
     grad_accum: int = Field(
         1,
+        ge=1,
         description=(
             "Gradient-accumulation micro-steps per optimizer step: the "
             "global batch_size splits into this many sequential "

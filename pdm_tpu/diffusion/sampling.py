@@ -192,33 +192,55 @@ class DDPMSampler:
     track_states: bool = False
     log_temp: Optional[Array] = None  # custom grid overrides scheduler
     batch_sharding: Optional[object] = None  # NamedSharding over 'data'
+    # Safe-by-default: with step_type='heun', schedules whose top knot
+    # exceeds HEUN_VALIDATED_MAX_TEMP are clamped to the validated
+    # envelope (the deterministic PF-ODE measured FID 1e4-2e5 divergence
+    # at T ~ 2.5e4, scripts/endurance_heun_table.md). Pass
+    # heun_clamp=False to run the raw schedule (warns instead).
+    heun_clamp: bool = True
 
     def __post_init__(self):
         assert self.step_type in STEP_TYPES, self.step_type
         if self.step_type == "heun":
-            # fence the measured schedule-geometry footgun (see
-            # HEUN_VALIDATED_MAX_TEMP): warn loudly instead of silently
-            # producing a diverged ODE trajectory
             import warnings
 
-            max_t = float(jnp.exp(jnp.max(self._grid())))
+            raw = discretize_schedule(
+                self.scheduler, self.n_steps,
+                max_log_temp=self.ddpm.max_log_temp,
+                log_temp=self.log_temp,
+            )
+            max_t = float(jnp.exp(jnp.max(raw)))
             if max_t > HEUN_VALIDATED_MAX_TEMP:
-                warnings.warn(
-                    f"step_type='heun' with max schedule temperature "
-                    f"{max_t:.3g} > validated envelope "
-                    f"{HEUN_VALIDATED_MAX_TEMP:.3g}: the deterministic "
-                    f"PF-ODE measured catastrophic FID divergence at "
-                    f"T ~ 2.5e4 (scripts/endurance_heun_table.md). Lower "
-                    f"the schedule's max temperature, pass a custom "
-                    f"log_temp grid, or use step_type='ddpm'.",
-                    stacklevel=2,
-                )
+                if self.heun_clamp:
+                    warnings.warn(
+                        f"step_type='heun': clamping the schedule's max "
+                        f"temperature {max_t:.3g} to the validated "
+                        f"envelope {HEUN_VALIDATED_MAX_TEMP:.3g} (the "
+                        f"PF-ODE diverges catastrophically above it — "
+                        f"scripts/endurance_heun_table.md). Pass "
+                        f"heun_clamp=False to run the raw schedule.",
+                        stacklevel=2,
+                    )
+                else:
+                    warnings.warn(
+                        f"step_type='heun' with max schedule temperature "
+                        f"{max_t:.3g} > validated envelope "
+                        f"{HEUN_VALIDATED_MAX_TEMP:.3g} and "
+                        f"heun_clamp=False: the deterministic PF-ODE "
+                        f"measured catastrophic FID divergence at "
+                        f"T ~ 2.5e4 (scripts/endurance_heun_table.md).",
+                        stacklevel=2,
+                    )
 
     def _grid(self) -> Array:
+        max_lt = self.ddpm.max_log_temp
+        if self.step_type == "heun" and self.heun_clamp:
+            clamp = math.log(HEUN_VALIDATED_MAX_TEMP)
+            max_lt = clamp if max_lt is None else min(float(max_lt), clamp)
         return discretize_schedule(
             self.scheduler,
             self.n_steps,
-            max_log_temp=self.ddpm.max_log_temp,
+            max_log_temp=max_lt,
             log_temp=self.log_temp,
         )
 
@@ -388,6 +410,7 @@ def get_samples(
     track_states: bool = False,
     key: Optional[jax.Array] = None,
     log_temp: Optional[Array] = None,
+    heun_clamp: bool = True,
 ) -> Dict[str, np.ndarray]:
     sampler = DDPMSampler(
         ddpm=ddpm,
@@ -400,5 +423,6 @@ def get_samples(
         precision=precision,
         track_states=track_states,
         log_temp=log_temp,
+        heun_clamp=heun_clamp,
     )
     return sampler.sample(key)

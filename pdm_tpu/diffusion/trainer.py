@@ -217,7 +217,7 @@ class DDPMTrainer:
         loss = jnp.mean(jnp.square(pred - target.astype(pred.dtype)))
         return loss, {"loss": loss}
 
-    def _build_train_step(self):
+    def _build_train_step(self, micro_sharding=None):
         def accum_grads(params, key: jax.Array, x0: Array):
             """Mean loss/grads over ``grad_accum`` sequential micro-batches
             (a lax.scan, so peak activation memory is one micro-batch).
@@ -225,12 +225,12 @@ class DDPMTrainer:
             draws, same contract as independent steps."""
             a = self.grad_accum
             micro = x0.reshape(a, x0.shape[0] // a, *x0.shape[1:])
-            if getattr(self, "_micro_sharding", None) is not None:
+            if micro_sharding is not None:
                 # keep each micro-batch laid out over the mesh 'data' axis
                 # (the reshape would otherwise leave XLA free to pick a
                 # degenerate layout that serializes the scan body)
                 micro = jax.lax.with_sharding_constraint(
-                    micro, self._micro_sharding
+                    micro, micro_sharding
                 )
 
             def body(carry, inp):
@@ -244,8 +244,11 @@ class DDPMTrainer:
                     l_sum + l,
                 ), None
 
+            # carry in param dtype so the accum path feeds the optimizer
+            # grads of the same dtype as the non-accum path (bf16 params
+            # would otherwise silently get f32 optimizer state here only)
             zeros = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), params
+                lambda p: jnp.zeros(p.shape, p.dtype), params
             )
             (g_sum, l_sum), _ = jax.lax.scan(
                 body, (zeros, jnp.zeros((), jnp.float32)),
@@ -285,9 +288,24 @@ class DDPMTrainer:
     def train_step(
         self, state: TrainState, key: jax.Array, x0: Array
     ) -> Tuple[TrainState, Dict[str, Array]]:
-        if not hasattr(self, "_train_step_jit"):
-            self._train_step_jit = self._build_train_step()
-        return self._train_step_jit(state, key, x0)
+        # cache keyed on the micro-batch sharding AND the module's
+        # activation constraints: train() on a mesh and a later
+        # direct/mesh-less call each get their own compiled step
+        # (NamedSharding is hashable), instead of reusing a step with a
+        # stale layout constraint baked in
+        ms = getattr(self, "_micro_sharding", None)
+        mod = self.ddpm.module
+        ck = (
+            ms,
+            getattr(mod, "act_sharding", None),
+            getattr(mod, "head_sharding", None),
+        )
+        cache = getattr(self, "_train_step_cache", None)
+        if cache is None:
+            cache = self._train_step_cache = {}
+        if ck not in cache:
+            cache[ck] = self._build_train_step(micro_sharding=ms)
+        return cache[ck](state, key, x0)
 
     # ------------------------------------------------------------------
     # checkpointing (Orbax; resume contract = reference's latest.pth)
@@ -448,6 +466,15 @@ class DDPMTrainer:
             )
 
         batch_out_sharding = None
+        # reset per-train() mutable derivations: the micro-batch sharding
+        # constraint and any mesh-specific module activation constraints
+        # applied by a previous train(mesh=...) call must not leak into
+        # this run (a meshless rerun would otherwise trace sharding
+        # constraints for devices it no longer uses)
+        self._micro_sharding = None
+        if not hasattr(self, "_base_ddpm"):
+            self._base_ddpm = self.ddpm
+        self.ddpm = self._base_ddpm
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -42,6 +42,7 @@ def mesh_from_config(
     parallel,
     devices: Optional[Sequence] = None,
     batch_size: Optional[int] = None,
+    grad_accum: int = 1,
 ):
     """Mesh from a ``ParallelConfig`` (config.py), or None when the run is
     single-device with no parallelism requested.
@@ -69,13 +70,24 @@ def mesh_from_config(
                 f"{n} visible devices; set parallel.data_axis explicitly"
             )
         data = n // model
-        if batch_size is not None and batch_size % data != 0:
+        # the quantity that must divide the data axis is the MICRO-batch
+        # (batch_size // grad_accum) — the trainer splits each global
+        # batch into grad_accum sequential micro-batches before sharding
+        eff_batch = (
+            None
+            if batch_size is None
+            else batch_size // max(1, int(grad_accum))
+        )
+        if eff_batch is not None and eff_batch % data != 0:
             import warnings
 
-            best = max(d for d in range(1, data + 1) if batch_size % d == 0)
+            best = max(
+                d for d in range(1, data + 1) if eff_batch % d == 0
+            )
             warnings.warn(
-                f"auto mesh: batch_size={batch_size} is not divisible by "
-                f"the {data} available data-parallel slots; using "
+                f"auto mesh: micro-batch {eff_batch} (batch_size="
+                f"{batch_size} / grad_accum={grad_accum}) is not divisible "
+                f"by the {data} available data-parallel slots; using "
                 f"data={best} (set parallel.data_axis to silence)",
                 stacklevel=2,
             )

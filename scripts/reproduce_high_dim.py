@@ -43,6 +43,12 @@ def compute_kl_gmm(samples, true_means, true_covs):
     return float(np.mean(log_p_ind - log_p_true))
 
 
+_PROFILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "pdm_tpu", "config", "yaml", "high_dim_exp.yaml",
+)
+
+
 def main() -> None:
     setup_jax()
     import jax
@@ -52,6 +58,7 @@ def main() -> None:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from pdm_tpu.config.loader import load_config
     from pdm_tpu.diffusion.sampling import get_samples
     from pdm_tpu.models.base import TrueDDPM
     from pdm_tpu.ops.mmd import mmd_rbf
@@ -60,13 +67,18 @@ def main() -> None:
     from pdm_tpu.stats.sweep import thermo_sweep
     from pdm_tpu.utils.synthetic import generate_anisotropic_gmm
 
-    # reference scale (config/high_dim_exp.yaml): melt to max_temp=1e4 —
-    # for 100-D N(0,I)-separated modes, T=1e2 is NOT yet melted
-    # (sqrt(ab)*|mu_i-mu_j| ~ 1.4), so the reverse process would start
-    # from the wrong marginal and bias mode occupancy
-    dim, n_comp = 100, 5
-    n_train, n_gen = 50_000, 10_000
-    min_temp, max_temp = 1e-4, 1e4
+    # scale constants come from the committed alternate root profile
+    # (pdm_tpu/config/yaml/high_dim_exp.yaml, parity: reference
+    # config/high_dim_exp.yaml + scripts/reproduce_high_dim.py:125-137) —
+    # PDM_CONFIG still overrides, same as every pipeline script.
+    config = load_config(os.environ.get("PDM_CONFIG") or _PROFILE)
+    # melt to max_temp=1e4: for 100-D N(0,I)-separated modes, T=1e2 is
+    # NOT yet melted (sqrt(ab)*|mu_i-mu_j| ~ 1.4), so the reverse process
+    # would start from the wrong marginal and bias mode occupancy
+    dim = config.dataset_config.image_size[0]
+    n_comp = 5  # data-generation fact (reference :18), not a config knob
+    n_train, n_gen = 50_000, config.sample.n_samples
+    min_temp, max_temp = config.diffusion.temp_range
 
     print(f"Generating data (dim={dim}, components={n_comp}, n={n_train})...")
     train_data, true_means, true_covs = generate_anisotropic_gmm(
@@ -75,10 +87,14 @@ def main() -> None:
     data = jnp.asarray(train_data)
 
     ensure_dirs("stats")
-    temps = np.logspace(np.log10(min_temp), np.log10(max_temp), 200)
+    temps = np.logspace(
+        np.log10(min_temp), np.log10(max_temp), config.forward_stats.n_temps
+    )
     print("Computing forward + metric stats (one fused sweep)...")
     stats = thermo_sweep(
-        jax.random.PRNGKey(0), data, temps, n_samples=1000, batch_size=500
+        jax.random.PRNGKey(0), data, temps,
+        n_samples=config.forward_stats.n_samples,
+        batch_size=config.forward_stats.batch_size,
     )
     np.savez("stats/anisotropic_gmm_repro_forward.npz",
              temp=stats["temp"], entropy=stats["entropy"])
@@ -133,8 +149,10 @@ def main() -> None:
         print(f"Sampling with {name} schedule...")
         ddpm = TrueDDPM(scheduler=scheduler, train_data=data)
         out = get_samples(
-            ddpm, scheduler, n_steps=20, obj_size=(1, dim, 1),
-            n_samples=n_gen, batch_size=min(n_gen, 1000), step_type="ddpm",
+            ddpm, scheduler, n_steps=config.sample.n_steps,
+            obj_size=(1, dim, 1), n_samples=n_gen,
+            batch_size=min(n_gen, config.sample.batch_size),
+            step_type=config.sample.step_type,
             key=jax.random.PRNGKey(1),
         )
         return out["x"].reshape(n_gen, dim)

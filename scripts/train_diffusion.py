@@ -20,7 +20,9 @@ def main(config: Config) -> None:
 
     ensure_dirs(config.checkpoint_dir, "logs")
     mesh = mesh_from_config(
-        config.parallel, batch_size=config.ddpm_training.batch_size
+        config.parallel,
+        batch_size=config.ddpm_training.batch_size,
+        grad_accum=config.ddpm_training.grad_accum,
     )
     if mesh is not None:
         print(f"mesh: {dict(mesh.shape)}")

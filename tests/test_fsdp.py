@@ -190,6 +190,62 @@ def test_grad_accum_on_mesh_with_fsdp():
         np.testing.assert_allclose(got[step], ref[step], rtol=1e-4)
 
 
+def test_train_step_cache_keyed_on_micro_sharding():
+    """Reusing one trainer across a mesh train() and a direct meshless
+    train_step must not replay a stale micro-batch sharding constraint:
+    the compiled step is cached per-sharding (advice r3)."""
+    ddpm = _tiny_ddpm()
+    data = _data()
+    trainer = DDPMTrainer(
+        ddpm=ddpm, learning_rate=1e-3, warmup_steps=1, total_iters=1,
+        grad_clip=1.0, ema_decay=0.99, grad_accum=2,
+        dropout_rng_impl="threefry",
+    )
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        trainer.train(data, batch_size=16, total_iters=1, mesh=mesh)
+    assert trainer._micro_sharding is not None
+    sharded_keys = set(trainer._train_step_cache)
+    assert all(k[0] is not None for k in sharded_keys)
+    # meshless train() resets the constraints and compiles a second step
+    trainer.train(data, batch_size=16, total_iters=1, mesh=None)
+    assert trainer._micro_sharding is None
+    clean_key = (None, None, None)
+    assert clean_key in trainer._train_step_cache
+    assert sharded_keys | {clean_key} == set(trainer._train_step_cache)
+    # direct single-device call reuses the meshless entry, runs fine
+    state = trainer.init_state()
+    _, m = trainer.train_step(state, jax.random.PRNGKey(0), _data(8, seed=5))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_grad_accum_accepts_param_dtype():
+    """bf16 params: the accum carry follows the param dtype, so both paths
+    feed same-dtype grads to the optimizer (advice r3)."""
+    ddpm = _tiny_ddpm()
+    bf16_params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16), ddpm.params
+    )
+    ddpm16 = ddpm.with_params(bf16_params)
+    for accum in (1, 2):
+        trainer = DDPMTrainer(
+            ddpm=ddpm16, learning_rate=1e-3, warmup_steps=1, total_iters=10,
+            grad_clip=1.0, ema_decay=0.99, grad_accum=accum,
+            dropout_rng_impl="threefry",
+        )
+        state = trainer.init_state()
+        new_state, _ = trainer.train_step(
+            state, jax.random.PRNGKey(1), _data(8, seed=4)
+        )
+        # Adam moments keep one dtype regardless of the accumulation path
+        mus = [
+            leaf.dtype
+            for leaf in jax.tree_util.tree_leaves(new_state.opt_state)
+            if hasattr(leaf, "dtype") and leaf.ndim > 0
+        ]
+        assert len(set(mus)) == 1, f"accum={accum} mixed dtypes {set(mus)}"
+
+
 def test_grad_accum_rejects_bad_batch():
     trainer = DDPMTrainer(ddpm=None, grad_accum=3)
     with pytest.raises(ValueError, match="grad_accum"):

@@ -119,6 +119,17 @@ def test_mesh_from_config():
         ParallelConfig(data_axis=8), batch_size=100
     )
     assert dict(mesh_e.shape) == {"data": 8, "model": 1}
+    # with accumulation the MICRO-batch governs the auto-shrink: global
+    # bs=16 / grad_accum=4 -> micro=4, so data=4 (not 8, which would fail
+    # the trainer's micro-batch divisibility check later)
+    with pytest.warns(UserWarning, match="micro-batch"):
+        mesh_g = mesh_from_config(
+            ParallelConfig(), batch_size=16, grad_accum=4
+        )
+    assert dict(mesh_g.shape) == {"data": 4, "model": 1}
+    # divisible micro-batch: no shrink, no warning
+    mesh_g2 = mesh_from_config(ParallelConfig(), batch_size=64, grad_accum=2)
+    assert dict(mesh_g2.shape) == {"data": 8, "model": 1}
 
 
 def test_trainer_train_mesh_matches_single_device():

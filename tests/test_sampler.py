@@ -280,17 +280,33 @@ def test_heun_extreme_schedule_warns_at_construction():
             batch_size=8, n_samples=8, step_type=step_type,
         )
 
-    with pytest.warns(UserWarning, match="validated envelope"):
-        build(2.5e4, "heun")
+    import math
 
-    # inside the envelope: silent
+    # default (r3 verdict weak #4): clamp to the envelope, not just warn
+    with pytest.warns(UserWarning, match="clamping"):
+        s = build(2.5e4, "heun")
+    assert float(jnp.max(s._grid())) <= math.log(HEUN_VALIDATED_MAX_TEMP) + 1e-6
+
+    # opt-out: raw schedule runs, with the divergence warning
+    with pytest.warns(UserWarning, match="heun_clamp=False"):
+        sched = LogSNRScheduler(1e-4, 2.5e4)
+        ddpm = TrueDDPM(scheduler=sched, train_data=jnp.asarray(data))
+        s_raw = DDPMSampler(
+            ddpm=ddpm, scheduler=sched, n_steps=5, obj_size=(1, 1, 1),
+            batch_size=8, n_samples=8, step_type="heun", heun_clamp=False,
+        )
+    assert float(jnp.max(s_raw._grid())) > math.log(HEUN_VALIDATED_MAX_TEMP)
+
+    # inside the envelope: silent, unclamped
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        build(1e2, "heun")
+        s_ok = build(1e2, "heun")
+    assert float(jnp.max(s_ok._grid())) <= math.log(1e2) + 1e-6
 
-    # extreme schedule but stochastic steps: silent (DDPM contracts)
+    # extreme schedule but stochastic steps: silent AND unclamped
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        build(2.5e4, "ddpm")
+        s_ddpm = build(2.5e4, "ddpm")
+    assert float(jnp.max(s_ddpm._grid())) > math.log(HEUN_VALIDATED_MAX_TEMP)
 
     assert HEUN_VALIDATED_MAX_TEMP < 2.5e4
