@@ -152,6 +152,11 @@ class DDPMTrainer:
     # reference recipe's global batch (ddpm_training.yaml bs=128..) on
     # memory-tight configs (256x256 models) with identical optimizer math.
     grad_accum: int = 1
+    # unroll the accumulation scan: for small grad_accum the unrolled
+    # per-micro grads fuse into each backward's epilogue (no carried
+    # gradient buffer round-trip through HBM per micro-step), at the cost
+    # of a grad_accum-times-larger compiled graph. Identical math.
+    accum_unroll: bool = False
 
     def __post_init__(self):
         import threading
@@ -253,6 +258,7 @@ class DDPMTrainer:
             (g_sum, l_sum), _ = jax.lax.scan(
                 body, (zeros, jnp.zeros((), jnp.float32)),
                 (jnp.arange(a), micro),
+                unroll=a if self.accum_unroll else 1,
             )
             inv = 1.0 / a
             grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)

@@ -201,14 +201,32 @@ class AttentionBlock(nn.Module):
         wv, bv = _ProjParams(C, name="to_v")(C)
         w_qkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
         b_qkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
-        qkv = jnp.dot(h, w_qkv) + b_qkv  # one (B*T, C) @ (C, 3C) GEMM
-        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         from ..ops.attention import (
             fused_spatial_attention, use_fused_attention,
         )
+        from ..ops.attention_block import (
+            fused_attention_block, use_fused_attention_block,
+        )
 
         scale = 1.0 / math.sqrt(hd)
+        if self.fused_attention and self.head_sharding is None and (
+            use_fused_attention_block(H * W, C, heads)
+        ):
+            # whole-block kernel: qkv-proj + attention + out-proj +
+            # residual in one pallas call, activations read/written once
+            # (the narrow-N projection GEMMs are HBM-bound under XLA)
+            wout, bout = _ProjParams(C, name="to_out")(C)
+            out = fused_attention_block(
+                x.reshape(B, H * W, C), h,
+                w_qkv, jnp.concatenate([bq, bk, bv]),
+                wout.astype(self.dtype), bout, heads, scale,
+            )
+            return out.reshape(B, H, W, C)
+
+        qkv = jnp.dot(h, w_qkv) + b_qkv  # one (B*T, C) @ (C, 3C) GEMM
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
         if self.fused_attention and self.head_sharding is None and use_fused_attention(
             H * W, C, heads
         ):

@@ -46,118 +46,162 @@ MAX_FUSED_SCORE_CELLS = 1 << 21  # heads * T * T
 MAX_FUSED_TOKENS = 1024
 
 
-def _head_mask(h: int, heads: int, C: int, dtype):
-    """(1, C) mask selecting head h's channel stripe."""
-    hd = C // heads
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-    return ((col >= h * hd) & (col < (h + 1) * hd)).astype(dtype)
+def _head_groups(heads: int, hd: int) -> int:
+    """Heads packed per K-tile group.
+
+    The MXU contracts 128 lanes at full rate, so a group packs
+    ``g = 128 // hd`` heads (capped at ``heads``, and requiring
+    ``heads % g == 0``) into one (T, g*hd) x (g*hd, g*T) block-diagonal
+    GEMM: the padding factor drops from ``heads`` (round-3 kernel, every
+    head block-diagonal in one full-C GEMM: 4x padded FLOPs at the
+    flagship's heads=4, hd=64) to ``g`` (2x) — measured at MXU peak on
+    padded FLOPs, so halving the padding halves attention wall time.
+    """
+    if hd >= 128:
+        return 1
+    g = max(1, 128 // hd)
+    g = min(g, heads)
+    while heads % g != 0:
+        g -= 1
+    return g
+
+
+def _group_mask(j: int, g: int, hd: int, dtype):
+    """(1, g*hd) mask selecting local head j's stripe within a group."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, g * hd), 1)
+    return ((col >= j * hd) & (col < (j + 1) * hd)).astype(dtype)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, heads: int,
                 scale: float):
     # One grid program per image. Narrow per-head matmuls
-    # ((T, hd) @ (hd, T) with hd = 64) run at ~12 TF/s on the MXU — both
-    # here and in XLA's lowering — so instead the heads are packed
-    # BLOCK-DIAGONALLY: tile K and V `heads` times along rows with a
-    # per-head channel mask, giving TWO full-width GEMMs
-    # (T, C) @ (C, heads*T) and (T, heads*T) @ (heads*T, C) whose cross-
-    # head products are exactly zero. 4x padded FLOPs at ~12x the MXU
-    # rate, with every intermediate VMEM-resident.
+    # ((T, hd) @ (hd, T) with hd = 64) waste MXU lanes, so heads are
+    # packed BLOCK-DIAGONALLY in groups of g = 128 // hd: per group, K and
+    # V tile g times along rows with a per-head stripe mask, giving one
+    # (T, g*hd) @ (g*hd, g*T) score GEMM and one (T, g*T) @ (g*T, g*hd)
+    # value GEMM whose cross-head products are exactly zero. g*hd = 128
+    # keeps the contraction a full MXU K-tile while cutting the padded
+    # FLOPs from heads/1 x to g/1 x (flagship: 4x -> 2x, measured ~2x
+    # faster end-to-end on the attention share). Every intermediate is
+    # VMEM-resident.
     T, C = q_ref.shape[1], q_ref.shape[2]
     q = q_ref[0]  # (T, C) compute dtype
     k = k_ref[0]
     v = v_ref[0]
-    k_tiles = jnp.concatenate(
-        [k * _head_mask(h, heads, C, k.dtype) for h in range(heads)], axis=0
-    )  # (heads*T, C)
-    s = jax.lax.dot_general(
-        q, k_tiles, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (T, heads*T); block h in columns [h*T, (h+1)*T)
-    p_parts = []
-    for h in range(heads):
-        sh = s[:, h * T : (h + 1) * T]
-        m = jnp.max(sh, axis=-1, keepdims=True)
-        p = jnp.exp(sh - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        p_parts.append((p / denom).astype(q.dtype))
-        l_ref[0, h, :] = m[:, 0] + jnp.log(denom[:, 0])  # row logsumexp
-    p3 = jnp.concatenate(p_parts, axis=1)  # (T, heads*T)
-    v_tiles = jnp.concatenate(
-        [v * _head_mask(h, heads, C, v.dtype) for h in range(heads)], axis=0
-    )  # (heads*T, C)
-    o = jnp.dot(p3, v_tiles, preferred_element_type=jnp.float32)
+    hd = C // heads
+    g = _head_groups(heads, hd)
+    o_parts = []
+    for g0 in range(0, heads, g):
+        cols = slice(g0 * hd, (g0 + g) * hd)
+        qg, kg, vg = q[:, cols], k[:, cols], v[:, cols]
+        k_tiles = jnp.concatenate(
+            [kg * _group_mask(j, g, hd, kg.dtype) for j in range(g)], axis=0
+        )  # (g*T, g*hd)
+        s = jax.lax.dot_general(
+            qg, k_tiles, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (T, g*T); local head j in columns [j*T, (j+1)*T)
+        p_parts = []
+        for j in range(g):
+            sh = s[:, j * T : (j + 1) * T]
+            m = jnp.max(sh, axis=-1, keepdims=True)
+            p = jnp.exp(sh - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            p_parts.append((p / denom).astype(q.dtype))
+            l_ref[0, g0 + j, :] = m[:, 0] + jnp.log(denom[:, 0])
+        pg = jnp.concatenate(p_parts, axis=1)  # (T, g*T)
+        v_tiles = jnp.concatenate(
+            [vg * _group_mask(j, g, hd, vg.dtype) for j in range(g)], axis=0
+        )  # (g*T, g*hd)
+        o_parts.append(
+            jnp.dot(pg, v_tiles, preferred_element_type=jnp.float32)
+        )
+    o = jnp.concatenate(o_parts, axis=1) if len(o_parts) > 1 else o_parts[0]
     o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, l_ref, do_ref, dq_ref, dk_ref, dv_ref,
                 *, heads: int, scale: float):
-    # Same block-diagonal packing as the forward (see _fwd_kernel): the
-    # five per-head VJP matmuls become four full-width GEMMs plus masked
-    # block-row reductions, with probabilities recomputed from the saved
-    # per-head row logsumexp (flash-attention-style recompute).
+    # Same grouped block-diagonal packing as the forward (see _fwd_kernel):
+    # per group of g heads, the five per-head VJP matmuls become four
+    # (T, g*hd)-width GEMMs plus masked block-row reductions, with
+    # probabilities recomputed from the saved per-head row logsumexp
+    # (flash-attention-style recompute).
     T, C = q_ref.shape[1], q_ref.shape[2]
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    masks = [_head_mask(h, heads, C, q.dtype) for h in range(heads)]
-    k_tiles = jnp.concatenate([k * m for m in masks], axis=0)  # (HT, C)
-    v_tiles = jnp.concatenate([v * m for m in masks], axis=0)
-    s = jax.lax.dot_general(
-        q, k_tiles, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (T, heads*T)
-    p3 = jnp.concatenate(
-        [
-            jnp.exp(s[:, h * T : (h + 1) * T] - l_ref[0, h, :][:, None])
-            for h in range(heads)
-        ],
-        axis=1,
-    ).astype(q.dtype)  # normalized probabilities, (T, heads*T)
+    hd = C // heads
+    g = _head_groups(heads, hd)
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for g0 in range(0, heads, g):
+        cols = slice(g0 * hd, (g0 + g) * hd)
+        qg, kg, vg, dog = q[:, cols], k[:, cols], v[:, cols], do[:, cols]
+        masks = [_group_mask(j, g, hd, q.dtype) for j in range(g)]
+        k_tiles = jnp.concatenate([kg * m for m in masks], axis=0)  # (gT, ghd)
+        v_tiles = jnp.concatenate([vg * m for m in masks], axis=0)
+        s = jax.lax.dot_general(
+            qg, k_tiles, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (T, g*T)
+        pg = jnp.concatenate(
+            [
+                jnp.exp(s[:, j * T : (j + 1) * T] - l_ref[0, g0 + j, :][:, None])
+                for j in range(g)
+            ],
+            axis=1,
+        ).astype(q.dtype)  # normalized probabilities, (T, g*T)
 
-    # dv[k, c in h] = sum_t p_h[t, k] do[t, c]
-    d1 = jax.lax.dot_general(
-        p3, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (heads*T, C)
-    dv = sum(
-        d1[h * T : (h + 1) * T, :] * masks[h].astype(jnp.float32)
-        for h in range(heads)
-    )
-    # dp[t, hk] = sum_c do[t, c] v_h[k, c]  (v_tiles masking zeroes cross terms)
-    dp3 = jax.lax.dot_general(
-        do, v_tiles, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, heads*T)
-    p3f = p3.astype(jnp.float32)
-    pdp = p3f * dp3
-    ds3 = jnp.concatenate(
-        [
-            (
-                pdp[:, h * T : (h + 1) * T]
-                - p3f[:, h * T : (h + 1) * T]
-                * jnp.sum(
-                    pdp[:, h * T : (h + 1) * T], axis=-1, keepdims=True
+        # dv[k, c in j] = sum_t p_j[t, k] do[t, c]
+        d1 = jax.lax.dot_general(
+            pg, dog, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (g*T, g*hd)
+        dv_parts.append(sum(
+            d1[j * T : (j + 1) * T, :] * masks[j].astype(jnp.float32)
+            for j in range(g)
+        ))
+        # dp[t, jk] = sum_c do[t, c] v_j[k, c]  (v_tiles masking zeroes
+        # cross terms)
+        dpg = jax.lax.dot_general(
+            dog, v_tiles, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, g*T)
+        pf = pg.astype(jnp.float32)
+        pdp = pf * dpg
+        dsg = jnp.concatenate(
+            [
+                (
+                    pdp[:, j * T : (j + 1) * T]
+                    - pf[:, j * T : (j + 1) * T]
+                    * jnp.sum(
+                        pdp[:, j * T : (j + 1) * T], axis=-1, keepdims=True
+                    )
                 )
-            )
-            for h in range(heads)
-        ],
-        axis=1,
-    ).astype(q.dtype)  # (T, heads*T)
-    dq = jax.lax.dot_general(
-        ds3, k_tiles, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (T, C); k_tiles masking keeps heads separate
-    d2 = jax.lax.dot_general(
-        ds3, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (heads*T, C)
-    dk = sum(
-        d2[h * T : (h + 1) * T, :] * masks[h].astype(jnp.float32)
-        for h in range(heads)
-    ) * scale
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+                for j in range(g)
+            ],
+            axis=1,
+        ).astype(q.dtype)  # (T, g*T)
+        dq_parts.append(jax.lax.dot_general(
+            dsg, k_tiles, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale)  # (T, g*hd); k_tiles masking keeps heads separate
+        d2 = jax.lax.dot_general(
+            dsg, qg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (g*T, g*hd)
+        dk_parts.append(sum(
+            d2[j * T : (j + 1) * T, :] * masks[j].astype(jnp.float32)
+            for j in range(g)
+        ) * scale)
+
+    def cat(parts):
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    dq_ref[0] = cat(dq_parts).astype(dq_ref.dtype)
+    dk_ref[0] = cat(dk_parts).astype(dk_ref.dtype)
+    dv_ref[0] = cat(dv_parts).astype(dv_ref.dtype)
 
 
 def _img_spec(T: int, C: int):

@@ -40,8 +40,12 @@ def test_fused_forward_matches_reference(B, T, heads, hd):
     )
 
 
-def test_fused_vjp_matches_reference():
-    B, T, heads, hd = 2, 128, 2, 64
+@pytest.mark.parametrize(
+    # (2,128,2,64): one 2-head group; (2,128,4,64): TWO groups — covers
+    # the grouped-packing backward's per-group slicing/concat
+    "B,T,heads,hd", [(2, 128, 2, 64), (2, 128, 4, 64)]
+)
+def test_fused_vjp_matches_reference(B, T, heads, hd):
     C = heads * hd
     q, k, v = (_rand((B, T, C), s) for s in (3, 4, 5))
     g = _rand((B, T, C), 6)
@@ -132,3 +136,121 @@ def test_fused_compiled_on_tpu_flagship_shape():
             np.asarray(got2, np.float32), np.asarray(r, np.float32),
             rtol=5e-2, atol=5e-2, err_msg=f"d{name}",
         )
+
+
+# ---------------------------------------------------------------------
+# whole-attention-block fused kernel (ops/attention_block.py)
+# ---------------------------------------------------------------------
+
+def _block_reference(x, h, w_qkv, b_qkv, w_out, b_out, heads, scale):
+    """XLA oracle: qkv proj -> einsum attention -> out proj -> residual."""
+    qkv = jnp.dot(h, w_qkv) + b_qkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    att = attention_reference(q, k, v, heads, scale)
+    return x + (jnp.dot(att, w_out) + b_out)
+
+
+@pytest.mark.parametrize(
+    # two grouped-packing regimes: (4 heads, hd 64) = 2 groups;
+    # (2, 64) = 1 group; (1, 32) = no grouping
+    "B,T,heads,hd", [(2, 256, 4, 64), (2, 128, 2, 64), (2, 64, 1, 32)]
+)
+def test_fused_block_forward_matches_reference(B, T, heads, hd):
+    from pdm_tpu.ops.attention_block import fused_attention_block
+
+    C = heads * hd
+    x, h = _rand((B, T, C), 1), _rand((B, T, C), 2)
+    w_qkv, b_qkv = _rand((C, 3 * C), 3) * 0.1, _rand((3 * C,), 4) * 0.1
+    w_out, b_out = _rand((C, C), 5) * 0.1, _rand((C,), 6) * 0.1
+    scale = 1.0 / np.sqrt(hd)
+    ref = _block_reference(x, h, w_qkv, b_qkv, w_out, b_out, heads, scale)
+    got = fused_attention_block(
+        x, h, w_qkv, b_qkv, w_out, b_out, heads, scale, True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("B,T,heads,hd", [(2, 128, 4, 64)])
+def test_fused_block_vjp_matches_reference(B, T, heads, hd):
+    from pdm_tpu.ops.attention_block import fused_attention_block
+
+    C = heads * hd
+    x, h = _rand((B, T, C), 1), _rand((B, T, C), 2)
+    w_qkv, b_qkv = _rand((C, 3 * C), 3) * 0.1, _rand((3 * C,), 4) * 0.1
+    w_out, b_out = _rand((C, C), 5) * 0.1, _rand((C,), 6) * 0.1
+    g = _rand((B, T, C), 7)
+    scale = 1.0 / np.sqrt(hd)
+
+    def loss_ref(*a):
+        return jnp.sum(_block_reference(*a, heads, scale) * g)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_attention_block(*a, heads, scale, True) * g)
+
+    argnums = tuple(range(6))
+    ref_grads = jax.grad(loss_ref, argnums=argnums)(
+        x, h, w_qkv, b_qkv, w_out, b_out
+    )
+    got_grads = jax.grad(loss_fused, argnums=argnums)(
+        x, h, w_qkv, b_qkv, w_out, b_out
+    )
+    names = ["dx", "dh", "dw_qkv", "db_qkv", "dw_out", "db_out"]
+    for name, r, got in zip(names, ref_grads, got_grads):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(r), rtol=3e-4, atol=3e-4,
+            err_msg=name,
+        )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="compiled-kernel path needs TPU"
+)
+def test_fused_block_compiled_on_tpu_flagship_shape():
+    """Compiled whole-block kernel at the flagship attention geometry
+    (bf16 activations), fwd + grads vs the fp32 XLA oracle."""
+    from pdm_tpu.ops.attention_block import fused_attention_block
+
+    B, T, heads, hd = 64, 256, 4, 64
+    C = heads * hd
+    x, h = (_rand((B, T, C), s, jnp.bfloat16) for s in (1, 2))
+    w_qkv = _rand((C, 3 * C), 3, jnp.bfloat16) * 0.1
+    b_qkv = _rand((3 * C,), 4) * 0.1
+    w_out = _rand((C, C), 5, jnp.bfloat16) * 0.1
+    b_out = _rand((C,), 6) * 0.1
+    g = _rand((B, T, C), 7, jnp.bfloat16)
+    scale = 1.0 / np.sqrt(hd)
+
+    xf, hf = x.astype(jnp.float32), h.astype(jnp.float32)
+    ref = _block_reference(
+        xf, hf, w_qkv.astype(jnp.float32), b_qkv,
+        w_out.astype(jnp.float32), b_out, heads, scale,
+    )
+    got = fused_attention_block(
+        x, h, w_qkv, b_qkv, w_out, b_out, heads, scale, False
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref), rtol=5e-2, atol=5e-2
+    )
+
+    def loss(hh):
+        return jnp.sum(
+            (fused_attention_block(
+                x, hh, w_qkv, b_qkv, w_out, b_out, heads, scale, False
+            ) * g).astype(jnp.float32)
+        )
+
+    def loss_ref(hh):
+        return jnp.sum(
+            _block_reference(
+                xf, hh, w_qkv.astype(jnp.float32), b_qkv,
+                w_out.astype(jnp.float32), b_out, heads, scale,
+            ) * g.astype(jnp.float32)
+        )
+
+    dh = jax.grad(loss)(h).astype(jnp.float32)
+    dh_ref = jax.grad(loss_ref)(hf)
+    np.testing.assert_allclose(
+        np.asarray(dh), np.asarray(dh_ref), rtol=8e-2, atol=8e-2
+    )

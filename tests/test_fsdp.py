@@ -118,10 +118,12 @@ def test_fsdp_step_hlo_gathers_params_and_reduce_scatters():
     assert "all-reduce" in txt or "reduce-scatter" in txt
 
 
-def test_grad_accum_matches_manual_average():
+@pytest.mark.parametrize("accum_unroll", [False, True])
+def test_grad_accum_matches_manual_average(accum_unroll):
     """grad_accum=2: the fused step's update equals averaging the two
     micro-batch gradients (fold_in(key, i) streams) and applying the
-    optimizer once."""
+    optimizer once — with the scan carried OR unrolled (identical math,
+    different lowering)."""
     ddpm = _tiny_ddpm()
     x0 = _data(8, seed=3)
     key = jax.random.PRNGKey(7)
@@ -129,7 +131,7 @@ def test_grad_accum_matches_manual_average():
     trainer = DDPMTrainer(
         ddpm=ddpm, learning_rate=1e-3, warmup_steps=1, total_iters=10,
         grad_clip=1.0, ema_decay=0.99, grad_accum=2,
-        dropout_rng_impl="threefry",
+        dropout_rng_impl="threefry", accum_unroll=accum_unroll,
     )
     state = trainer.init_state()
     new_state, metrics = trainer.train_step(state, key, x0)
