@@ -198,6 +198,10 @@ class DDPMSampler:
     # at T ~ 2.5e4, scripts/endurance_heun_table.md). Pass
     # heun_clamp=False to run the raw schedule (warns instead).
     heun_clamp: bool = True
+    # XLA compiler options for the scan's jit, as a hashable tuple of
+    # (flag, value) pairs — e.g. the measured-safe cold-compile reduction
+    # (("xla_exec_time_optimization_effort", -0.5),). None = XLA default.
+    compiler_options: Optional[tuple] = None
 
     def __post_init__(self):
         assert self.step_type in STEP_TYPES, self.step_type
@@ -247,7 +251,7 @@ class DDPMSampler:
     def batch_sample(self, key: jax.Array, batch_size: Optional[int] = None) -> Dict[str, Array]:
         bs = batch_size or self.batch_size
         grid = self._grid()
-        xt, states = _sample_scan(
+        xt, states = _jitted_sample_scan(self.compiler_options)(
             self.ddpm,
             grid,
             key,
@@ -284,14 +288,33 @@ class DDPMSampler:
         return res
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "sample_shape", "step_type", "half", "track_states",
-        "batch_sharding", "remat",
-    ),
-)
-def _sample_scan(
+def _jitted_sample_scan(compiler_options: Optional[tuple] = None):
+    """The jitted sampler scan, keyed on XLA compiler options.
+
+    The 1000-step flagship graph costs minutes of cold XLA compile at the
+    default optimization effort; ``scripts/compile_budget.py`` measures
+    which effort reductions keep throughput. Options arrive as a hashable
+    tuple of (name, value) pairs; ``None`` = production default.
+    """
+    return _SAMPLE_SCAN_CACHE.setdefault(
+        compiler_options,
+        partial(
+            jax.jit,
+            static_argnames=(
+                "sample_shape", "step_type", "half", "track_states",
+                "batch_sharding", "remat",
+            ),
+            compiler_options=(
+                dict(compiler_options) if compiler_options else None
+            ),
+        )(_sample_scan_impl),
+    )
+
+
+_SAMPLE_SCAN_CACHE: Dict[Optional[tuple], object] = {}
+
+
+def _sample_scan_impl(
     ddpm: DDPM,
     grid: Array,
     key: jax.Array,
@@ -396,6 +419,11 @@ def _sample_scan(
         # emits high-T -> low-T, so flip the leading axis to match.
         states = states[::-1]
     return x_final, states
+
+
+# default-options jitted scan: the module-level name every caller
+# (schedule_opt, serving, tests) binds to
+_sample_scan = _jitted_sample_scan(None)
 
 
 def get_samples(

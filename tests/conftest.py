@@ -87,6 +87,7 @@ FAST_NODES = [
     "test_diffusers_golden.py::test_golden_converter_outputs",
     "test_diffusers_import.py::test_convert_roundtrip_structure",
     "test_schedule_opt.py::test_gradients_flow_through_sampler",
+    "test_sampler.py::test_compiler_options_bitwise_identical_samples",
 ]
 
 

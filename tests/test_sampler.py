@@ -310,3 +310,24 @@ def test_heun_extreme_schedule_warns_at_construction():
     assert float(jnp.max(s_ddpm._grid())) > math.log(HEUN_VALIDATED_MAX_TEMP)
 
     assert HEUN_VALIDATED_MAX_TEMP < 2.5e4
+
+
+def test_compiler_options_bitwise_identical_samples():
+    """The cold-compile knob must not change sampling semantics: the same
+    seed through a compiler_options-carrying sampler and the default one
+    produces identical samples (options only steer XLA's optimization
+    effort, never the program)."""
+    data = gmm_data(2_000)
+    sched = LogSNRScheduler(1e-4, 1e1)
+    ddpm = TrueDDPM(scheduler=sched, train_data=jnp.asarray(data))
+    kw = dict(
+        ddpm=ddpm, scheduler=sched, n_steps=8, obj_size=(1, 1, 1),
+        batch_size=64, n_samples=64, step_type="ddpm",
+    )
+    base = DDPMSampler(**kw).batch_sample(jax.random.PRNGKey(3))["x"]
+    # a harmless real XLA flag: exercises the cache-keyed jit path
+    opt = DDPMSampler(
+        **kw,
+        compiler_options=(("xla_cpu_enable_fast_math", False),),
+    ).batch_sample(jax.random.PRNGKey(3))["x"]
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(opt))
