@@ -157,6 +157,11 @@ class DDPMTrainer:
     # gradient buffer round-trip through HBM per micro-step), at the cost
     # of a grad_accum-times-larger compiled graph. Identical math.
     accum_unroll: bool = False
+    # XLA compiler options for the train-step jit, as a hashable tuple of
+    # (flag, value) pairs — same knob as DDPMSampler.compiler_options
+    # (e.g. (("xla_exec_time_optimization_effort", 1.0),)). None = XLA
+    # default. scripts/train_decompose.py measures the effect per flag.
+    compiler_options: Optional[tuple] = None
 
     def __post_init__(self):
         import threading
@@ -289,7 +294,13 @@ class DDPMTrainer:
             )
             return new_state, out_metrics
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(
+            step,
+            donate_argnums=(0,),
+            compiler_options=(
+                dict(self.compiler_options) if self.compiler_options else None
+            ),
+        )
 
     def train_step(
         self, state: TrainState, key: jax.Array, x0: Array
@@ -305,6 +316,7 @@ class DDPMTrainer:
             ms,
             getattr(mod, "act_sharding", None),
             getattr(mod, "head_sharding", None),
+            self.compiler_options,
         )
         cache = getattr(self, "_train_step_cache", None)
         if cache is None:

@@ -135,6 +135,24 @@ def main():
     timed("fwd_eval", fwd_loop(True), params, jax.random.PRNGKey(1), x0)
     timed("fwd_train", fwd_loop(False), params, jax.random.PRNGKey(1), x0)
 
+    # ---- pure network forward (no loss wrapper) ----------------------
+    # Output feeds the next iteration's input — a REAL data dependency,
+    # so XLA cannot dead-code any of the network (unlike a `0.0 * out`
+    # consumer, which the algebraic simplifier may fold away).
+    @jax.jit
+    def net_loop(p, x):
+        tau_c = jnp.full((x.shape[0],), 0.5, jnp.float32)
+
+        def body(i, xc):
+            out = net.apply({"params": p}, xc, tau_c, deterministic=True)
+            return out.astype(xc.dtype)
+
+        xr = jax.lax.fori_loop(0, reps, body, x)
+        return jnp.sum(xr[0, 0, 0, :])
+
+    x_nhwc = jnp.transpose(x0, (0, 2, 3, 1))
+    timed("fwd_net", net_loop, params, x_nhwc)
+
     # ---- grads only (no optimizer) ----------------------------------
     @jax.jit
     def grads_loop(p, key, x):
@@ -174,7 +192,7 @@ def main():
     timed("opt_only", opt_loop, state, fixed_grads)
 
     # ---- full production steps ---------------------------------------
-    def full_loop(tr):
+    def full_loop(tr, compiler_options=None):
         def f(st, key, x):
             def body(i, carry):
                 s, acc = carry
@@ -184,7 +202,9 @@ def main():
             _, acc = jax.lax.fori_loop(0, reps, body, (st, 0.0))
             return acc
 
-        return jax.jit(f)
+        # the trainer's inner jit inlines under this outer trace, so the
+        # options must land on the OUTER jit to reach the XLA compile
+        return jax.jit(f, compiler_options=compiler_options)
 
     timed("full", full_loop(trainer), state, jax.random.PRNGKey(1), x0)
 
@@ -195,6 +215,21 @@ def main():
     for a in (2, 4):
         timed(f"accum{a}", full_loop(make_trainer(net, grad_accum=a)),
               state, jax.random.PRNGKey(1), x0)
+
+    # ---- XLA exec-effort compiler options on the production step ------
+    for label, opts in (
+        # 2x the default scoped-VMEM budget: lets XLA fuse bigger
+        # producer chains into the conv epilogues before spilling
+        ("full_vmem", (("xla_tpu_scoped_vmem_limit_kib", 131072),)),
+        ("full_lhs", (("xla_tpu_enable_latency_hiding_scheduler", True),)),
+    ):
+        if label in skip:
+            continue
+        try:
+            timed(label, full_loop(make_trainer(net), dict(opts)),
+                  state, jax.random.PRNGKey(1), x0)
+        except Exception as e:  # flag not recognized by this XLA build
+            print(f"[decompose] {label} failed: {e}", file=sys.stderr)
 
     # ---- FLOPs + floors ----------------------------------------------
     step_flops = None
