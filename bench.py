@@ -133,6 +133,11 @@ def main():
         file=sys.stderr,
     )
 
+    # free the sweep's HBM before timing the train step: the 50k x 3072
+    # dataset + prepared bf16 hi/lo splits are ~1.3 GB of dead buffers
+    # that would otherwise constrain the step's layout/allocator choices
+    del data, x, eps, prep, out_s, out
+
     # secondary: flagship train-step throughput (donated jit step: noise,
     # fwd, bwd, clip, Adam, EMA; rbg dropout masks). Timed as K chained
     # steps inside ONE jit call — per-call timing through the axon tunnel

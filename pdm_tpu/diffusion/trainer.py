@@ -137,6 +137,11 @@ class DDPMTrainer:
     # dropout-mask generator: "rbg" (hardware RngBitGenerator, measured
     # +17% step throughput) or "threefry" (bit-reproducible everywhere)
     dropout_rng_impl: Optional[str] = "rbg"
+    # forward-process noise generator (the per-step uniform tau + normal
+    # eps draws in loss_fn): same trade as dropout_rng_impl. The seed
+    # material still derives from the caller's threefry stream, so steps
+    # stay decorrelated and runs stay deterministic for a fixed impl.
+    noise_rng_impl: Optional[str] = "rbg"
     # what the mesh 'model' axis shards: "channel" (tensor parallelism)
     # or "spatial" (activation-H spatial parallelism, replicated params)
     model_partition: str = "channel"
@@ -212,6 +217,7 @@ class DDPMTrainer:
     ) -> Tuple[Array, Dict[str, Array]]:
         sched: Scheduler = self.ddpm.scheduler
         key_noise, key_drop = jax.random.split(key)
+        key_noise = _dropout_key(key_noise, self.noise_rng_impl)
         key_drop = _dropout_key(key_drop, self.dropout_rng_impl)
         tau, eps, xt = sched.add_noise(key_noise, x0)
         log_temp = sched.log_temp_from_tau(tau)

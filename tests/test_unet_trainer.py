@@ -248,6 +248,42 @@ def test_train_step_rbg_dropout_matches_threefry_statistics():
     np.testing.assert_allclose(losses["rbg"], losses["threefry"], rtol=0.2)
 
 
+def test_train_step_noise_rng_impls_statistics():
+    """The rbg forward-noise default (tau/eps draws in loss_fn) must not
+    change the loss scale — only the bitstream differs vs threefry."""
+    losses = {}
+    for impl in ("threefry", "rbg"):
+        trainer = make_trainer(noise_rng_impl=impl, dropout_rng_impl=impl)
+        state = trainer.init_state()
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(64, 1, 16, 16).astype(np.float32)
+        )
+        ls = []
+        for i in range(4):
+            state, m = trainer.train_step(state, jax.random.PRNGKey(i), x)
+            ls.append(float(m["loss"]))
+        losses[impl] = np.mean(ls)
+        assert np.isfinite(ls).all()
+    np.testing.assert_allclose(losses["rbg"], losses["threefry"], rtol=0.2)
+
+
+def test_compiler_options_key_the_step_cache():
+    """Changing DDPMTrainer.compiler_options must re-jit the step (the
+    cache is keyed on it), and an option-carrying step must still run."""
+    trainer = make_trainer()
+    state = trainer.init_state()
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(8, 1, 16, 16).astype(np.float32)
+    )
+    state, m0 = trainer.train_step(state, jax.random.PRNGKey(0), x)
+    assert len(trainer._train_step_cache) == 1
+    # harmless DebugOptions field accepted by every backend
+    trainer.compiler_options = (("xla_embed_ir_in_executable", True),)
+    state, m1 = trainer.train_step(state, jax.random.PRNGKey(1), x)
+    assert len(trainer._train_step_cache) == 2
+    assert np.isfinite(float(m1["loss"]))
+
+
 def test_publish_pending_stale_thread_guard(tmp_path):
     """A stale background publisher (whose wait finished for save N but was
     preempted until save N+1 was already in flight) must NOT move latest.txt:
