@@ -145,6 +145,12 @@ class DDPMTrainer:
     # what the mesh 'model' axis shards: "channel" (tensor parallelism)
     # or "spatial" (activation-H spatial parallelism, replicated params)
     model_partition: str = "channel"
+    # layout of the x0 batches this trainer is fed: "nchw" (the reference
+    # contract, ddpm_trainer.py:194) or "nhwc" (TPU-native; zero layout
+    # transposes in the hot path). With "nchw" the step transposes x0
+    # ONCE up front and runs the forward, target, and MSE natively in
+    # NHWC — the loss value is layout-invariant either way.
+    data_layout: str = "nchw"
     # fully-sharded data parallelism (ZeRO-3): parameters, EMA, and Adam
     # moments shard over the mesh 'data' axis (1/data_size per chip);
     # GSPMD all-gathers weights per layer and reduce-scatters gradients.
@@ -219,16 +225,23 @@ class DDPMTrainer:
         key_noise, key_drop = jax.random.split(key)
         key_noise = _dropout_key(key_noise, self.noise_rng_impl)
         key_drop = _dropout_key(key_drop, self.dropout_rng_impl)
+        # Everything downstream runs in the conv-native NHWC layout: the
+        # noise draw, the forward, the target, and the MSE. An NCHW batch
+        # (the reference data contract) pays ONE gradient-free transpose
+        # here; an NHWC-resident dataset (data_layout="nhwc") pays none.
+        # Round 4 transposed xt in and pred back out, keeping a transpose
+        # pair (+ its cotangent transpose) inside the grad path
+        # (TRAIN_ROOFLINE.md loss-wrapper attribution).
+        if self.data_layout == "nchw":
+            x0 = jnp.transpose(x0, (0, 2, 3, 1))
         tau, eps, xt = sched.add_noise(key_noise, x0)
         log_temp = sched.log_temp_from_tau(tau)
         ab = alpha_bar_from_log_temp(log_temp)
 
-        x_nhwc = jnp.transpose(xt, (0, 2, 3, 1))
         pred = self.ddpm.module.apply(
-            {"params": params}, x_nhwc, tau,
+            {"params": params}, xt, tau,
             deterministic=False, rngs={"dropout": key_drop},
         )
-        pred = jnp.transpose(pred, (0, 3, 1, 2))
         target = training_target(x0, eps, ab, self.ddpm.parametrization)
         loss = jnp.mean(jnp.square(pred - target.astype(pred.dtype)))
         return loss, {"loss": loss}
@@ -318,11 +331,17 @@ class DDPMTrainer:
         # stale layout constraint baked in
         ms = getattr(self, "_micro_sharding", None)
         mod = self.ddpm.module
+        # every post-construction-mutable knob the compiled step closes
+        # over is part of the key (ADVICE r4: a mutated rng impl must not
+        # silently reuse a stale compiled step)
         ck = (
             ms,
             getattr(mod, "act_sharding", None),
             getattr(mod, "head_sharding", None),
             self.compiler_options,
+            self.noise_rng_impl,
+            self.dropout_rng_impl,
+            self.data_layout,
         )
         cache = getattr(self, "_train_step_cache", None)
         if cache is None:
@@ -553,11 +572,16 @@ class DDPMTrainer:
         def augment(x, step_key):
             if self.horizontal_flip:
                 # the reference flips in its host-side transform pipeline
-                # (data.py:46-49); here it's a fused on-device where
+                # (data.py:46-49); here it's a fused on-device where.
+                # The W axis is last in NCHW, second-to-last in NHWC.
                 flip = jax.random.bernoulli(
                     jax.random.fold_in(step_key, 1), 0.5, (x.shape[0],)
                 )
-                x = jnp.where(flip[:, None, None, None], x[..., ::-1], x)
+                flipped = (
+                    x[..., ::-1, :] if self.data_layout == "nhwc"
+                    else x[..., ::-1]
+                )
+                x = jnp.where(flip[:, None, None, None], flipped, x)
             return x
 
         @partial(jax.jit, donate_argnums=(), **_jit_kw)

@@ -64,16 +64,28 @@ def main():
         # lower XLA's exec-time optimization effort: fewer/faster passes
         "effort_low": {"xla_exec_time_optimization_effort": -0.5},
         "effort_min": {"xla_exec_time_optimization_effort": -1.0},
+        # the latency-hiding scheduler is a known compile-time hog on big
+        # while-bodies; measure what turning it off costs/saves
+        "lhs_off": {"xla_tpu_enable_latency_hiding_scheduler": False},
+        # pseudo-option: XLA-einsum attention instead of the grouped-head
+        # Pallas kernel (PDM_FUSED_ATTN=0) — isolates the Mosaic kernel's
+        # share of the cold compile (the r3->r4 bisect suspect, commit
+        # 7cacd2a)
+        "no_fused_attn": {},
     }
 
     results = {}
     for name in args.opts.split(","):
         opts = option_sets[name]
+        if name == "no_fused_attn":
+            os.environ["PDM_FUSED_ATTN"] = "0"
         t0 = time.time()
         lowered = _sample_scan.lower(
             ddpm, grid, key, shape, "ddpm", True, False, None
         )
         t_lower = time.time() - t0
+        if name == "no_fused_attn":
+            os.environ.pop("PDM_FUSED_ATTN", None)
         t0 = time.time()
         try:
             compiled = lowered.compile(compiler_options=opts or None)

@@ -75,7 +75,25 @@ def main():
         params0,
     )
     ns = [int(s) for s in args.ns.split(",")]
-    fwd_flops_per_sample = 15.66e9  # cost_analysis, batch-independent
+    # per-sample forward FLOPs measured at runtime (same protocol as
+    # bench.py) so the TF/s and mfu rows stay consistent with the rest of
+    # the repo's figures; falls back to the last measured constant
+    fwd_flops_per_sample = 15.48e9
+    try:
+        _fb = 64
+        _ca = jax.jit(
+            lambda p, xx, tt: net.apply({"params": p}, xx, tt,
+                                        deterministic=True)
+        ).lower(
+            params,
+            jnp.zeros((_fb, size, size, 3), jnp.bfloat16),
+            jnp.full((_fb,), 0.5, jnp.float32),
+        ).compile().cost_analysis()
+        _ca = _ca[0] if isinstance(_ca, list) else _ca
+        fwd_flops_per_sample = float(_ca["flops"]) / _fb
+    except Exception as e:
+        print(f"[probe] cost_analysis failed ({e}); using "
+              f"{fwd_flops_per_sample:.3g} F/sample", file=sys.stderr)
     results = {}
 
     def fit(times_ms):
@@ -175,6 +193,8 @@ def main():
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
+    sys.stdout.flush()
+    sys.stderr.flush()
     os._exit(0)  # axon teardown hangs
 
 

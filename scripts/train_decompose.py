@@ -110,19 +110,27 @@ def main():
             def body(i, acc):
                 k = jax.random.fold_in(key, i)
                 if deterministic:
-                    # same noise draw, no dropout rngs
+                    # same noise draw, no dropout rngs. The noise key goes
+                    # through the SAME generator the trainer's loss_fn
+                    # uses (noise_rng_impl, rbg by default) so
+                    # fwd_train - fwd_eval isolates dropout alone, not
+                    # dropout + a threefry-vs-rbg noise-draw delta
+                    # (ADVICE r4).
                     from pdm_tpu.core.temperature import (
                         alpha_bar_from_log_temp,
                     )
+                    from pdm_tpu.diffusion.trainer import _dropout_key
                     from pdm_tpu.models.predictions import training_target
 
                     kn, _ = jax.random.split(k)
-                    tau, eps, xt = sched.add_noise(kn, x)
+                    kn = _dropout_key(kn, trainer.noise_rng_impl)
+                    # mirror the (round-5, NHWC-native) production loss_fn:
+                    # one up-front x0 transpose, everything downstream NHWC
+                    xh0 = jnp.transpose(x, (0, 2, 3, 1))
+                    tau, eps, xt = sched.add_noise(kn, xh0)
                     ab = alpha_bar_from_log_temp(sched.log_temp_from_tau(tau))
-                    xh = jnp.transpose(xt, (0, 2, 3, 1))
-                    pred = net.apply({"params": p}, xh, tau, deterministic=True)
-                    pred = jnp.transpose(pred, (0, 3, 1, 2))
-                    tgt = training_target(x, eps, ab, "eps")
+                    pred = net.apply({"params": p}, xt, tau, deterministic=True)
+                    tgt = training_target(xh0, eps, ab, "eps")
                     l = jnp.mean(jnp.square(pred - tgt.astype(pred.dtype)))
                 else:
                     l, _ = trainer.loss_fn(p, k, x)
