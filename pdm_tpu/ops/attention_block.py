@@ -289,14 +289,24 @@ def _fab_bwd(heads, scale, interpret, residuals, g):
         ),
         interpret=interpret,
     )(h, w_qkv, b_qkv.reshape(1, 3 * C), w_out, lse, g.astype(h.dtype))
-    # residual passthrough: d(x) = g exactly
+    # residual passthrough: d(x) = g exactly.
+    # b_out's grad is a plain sum of the cotangent over (B, T); taking it
+    # from the kernel would sum the bf16-rounded copy of g (~12% rel err
+    # at B=128,T=256 under heavy cancellation — hardware parity run,
+    # scripts/verify_attention_block.json). Reduce the unrounded g in
+    # fp32 instead; XLA fuses the reduction, the kernel's dbout output is
+    # ignored.
+    dbout_exact = jnp.sum(
+        g.astype(jnp.float32), axis=(0, 1), keepdims=False
+    )
+    del dbout
     return (
         g,
         dh,
         dwqkv.astype(w_qkv.dtype),
         dbqkv.reshape(b_qkv.shape).astype(b_qkv.dtype),
         dwout.astype(w_out.dtype),
-        dbout.reshape(b_out.shape).astype(b_out.dtype),
+        dbout_exact.reshape(b_out.shape).astype(b_out.dtype),
     )
 
 
