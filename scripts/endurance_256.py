@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--eval_every", type=int, default=1000)
     ap.add_argument("--eval_samples", type=int, default=64)
     ap.add_argument("--ckpt_dir", default="checkpoints/endurance_256")
+    ap.add_argument("--out_suffix", default="",
+                    help="suffix for the results files (resume drill "
+                         "writes endurance_256_resume.{json,md} without "
+                         "clobbering the main run's results)")
     args = ap.parse_args()
 
     setup_jax()
@@ -135,8 +139,12 @@ def main():
         grad_accum=args.grad_accum,
         checkpoint_dir=args.ckpt_dir, checkpoint_every=args.ckpt_every,
         keep_checkpoints=2, eval_steps=args.eval_every, eval_fn=eval_fn,
-        log_fn=lambda s, m: history["loss"].__setitem__(
-            s, float(m.get("loss", float("nan")))
+        # eval-metric dicts (fid_proxy) log at the same step as the train
+        # loss — only record entries that actually carry a loss, or the
+        # final loss in the results file becomes NaN
+        log_fn=lambda s, m: (
+            history["loss"].__setitem__(s, float(m["loss"]))
+            if "loss" in m else None
         ) or print(f"[step {s}] {m}", flush=True),
     )
 
@@ -188,11 +196,11 @@ def main():
         "sampling_256": bench,
         "total_wall_s": round(time.time() - t_wall0, 1),
     }
-    with open(os.path.join(REPO, "endurance_256.json"), "w") as f:
+    with open(os.path.join(REPO, f"endurance_256{args.out_suffix}.json"), "w") as f:
         json.dump(result, f, indent=1)
 
     md = [
-        "# 256x256 endurance (round 4)",
+        "# 256x256 endurance (round 5)",
         "",
         "113.7M-param celebahq-256 architecture at the reference global "
         f"batch ({global_batch} = {args.bs} x grad_accum {args.grad_accum}), "
@@ -220,7 +228,7 @@ def main():
         "Full numbers: `endurance_256.json`. "
         "Run: `python scripts/endurance_256.py`.",
     ]
-    with open(os.path.join(REPO, "endurance_256.md"), "w") as f:
+    with open(os.path.join(REPO, f"endurance_256{args.out_suffix}.md"), "w") as f:
         f.write("\n".join(md) + "\n")
     print(json.dumps(result), flush=True)
 
