@@ -85,6 +85,15 @@ class DDPMTrainingConfig(BaseModel):
             "CSV logging always stays on"
         ),
     )
+    data_layout: Literal["nchw", "nhwc"] = Field(
+        "nchw",
+        description=(
+            "Device-resident training-set layout: 'nhwc' stores the "
+            "dataset conv-native and deletes the per-step layout "
+            "transpose from the train hot path (loss math is "
+            "layout-invariant — tests/test_unet_trainer.py)"
+        ),
+    )
 
 
 class DataAugmentationConfig(BaseModel):

@@ -74,7 +74,7 @@ def main():
         rng.standard_normal((batch, 3, size, size)).astype(np.float32)
     )
 
-    def make_trainer(module, grad_accum=1):
+    def make_trainer(module, grad_accum=1, data_layout="nchw"):
         ddpm = UNetDDPM(
             scheduler=sched, params=params, module=module,
             parametrization="eps",
@@ -82,6 +82,7 @@ def main():
         return DDPMTrainer(
             ddpm=ddpm, learning_rate=1e-4, warmup_steps=10, total_iters=1000,
             grad_clip=1.0, ema_decay=0.9999, grad_accum=grad_accum,
+            data_layout=data_layout,
         )
 
     trainer = make_trainer(net)
@@ -215,6 +216,16 @@ def main():
         return jax.jit(f, compiler_options=compiler_options)
 
     timed("full", full_loop(trainer), state, jax.random.PRNGKey(1), x0)
+
+    # NHWC-resident dataset: the production data_layout="nhwc" config —
+    # same step minus the per-step gradient-free x0 transpose
+    if "full_nhwc" not in skip:
+        timed(
+            "full_nhwc",
+            full_loop(make_trainer(net, data_layout="nhwc")),
+            state, jax.random.PRNGKey(1),
+            jnp.transpose(x0, (0, 2, 3, 1)),
+        )
 
     nodrop = dataclasses.replace(net, dropout=0.0)
     timed("full_nodrop", full_loop(make_trainer(nodrop)), state,

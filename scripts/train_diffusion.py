@@ -55,7 +55,13 @@ def main(config: Config) -> None:
         model_partition=config.parallel.model_partition,
         fsdp=config.parallel.fsdp,
         grad_accum=tc.grad_accum,
+        data_layout=tc.data_layout,
     )
+    if tc.data_layout == "nhwc":
+        # store the device-resident dataset conv-native; the eval hook
+        # above already captured its NCHW reference features, so this is
+        # the only copy training keeps
+        data = data.transpose(0, 2, 3, 1)
     trainer.train(
         data, batch_size=tc.batch_size, total_iters=tc.total_iters, mesh=mesh
     )
