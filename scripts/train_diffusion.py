@@ -57,10 +57,11 @@ def main(config: Config) -> None:
         grad_accum=tc.grad_accum,
         data_layout=tc.data_layout,
     )
-    if tc.data_layout == "nhwc":
+    if tc.data_layout == "nhwc" and data.ndim == 4:
         # store the device-resident dataset conv-native; the eval hook
         # above already captured its NCHW reference features, so this is
-        # the only copy training keeps
+        # the only copy training keeps. Non-image (flat) datasets have
+        # no layout axis — the trainer ignores data_layout for them.
         data = data.transpose(0, 2, 3, 1)
     trainer.train(
         data, batch_size=tc.batch_size, total_iters=tc.total_iters, mesh=mesh
